@@ -1,0 +1,128 @@
+"""NIQKI-compatible index checkpoint format (dump/load).
+
+Byte layout (gzip-wrapped binary, little-endian, all fields uint32), matching
+the reference dump for interoperability
+(/root/reference/src/niqki_index.cpp:42-102):
+
+    lF, K, H, W, min_score, genome_numbers
+    for each of F * 2^W flat buckets (flat key = fp + slot * 2^W):
+        uint32 size, then `size` uint32 genome ids
+    genome_numbers newline-terminated name strings
+
+Because every indexed genome contributes exactly one fingerprint per slot
+(sketches are fully densified), the bucket lists per slot form a partition of
+all genome ids; this module converts between that inverted layout and the
+dense (G, F) fingerprint matrix the TPU engine uses natively.
+
+A native sharded checkpoint format (one npz per genome-range shard plus a JSON
+manifest) lives in index.py; this module is only the parity/interop format.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import struct
+
+import numpy as np
+
+from .params import SketchParams
+
+
+class DumpHeader:
+    def __init__(self, lF, K, H, W, min_score, genome_numbers):
+        self.lF, self.K, self.H, self.W = lF, K, H, W
+        self.min_score, self.genome_numbers = min_score, genome_numbers
+
+    def params(self) -> SketchParams:
+        # min_fract itself is not stored in the dump; reconstruct a value that
+        # truncates back to the stored min_score exactly.
+        F = 1 << self.lF
+        return SketchParams(
+            lF=self.lF, K=self.K, W=self.W, H=self.H,
+            min_fract=self.min_score / F if self.min_score else 0.0,
+        )
+
+
+def load_dump(path: str):
+    """Parse a NIQKI dump into (header, fingerprint_matrix, names).
+
+    fingerprint_matrix is int32 of shape (G, F); slots where a genome id never
+    appears (impossible for reference-produced, fully densified indexes) stay
+    -1.
+    """
+    with gzip.open(path, "rb") as f:
+        data = f.read()
+    lF, K, H, W, min_score, G = struct.unpack_from("<6I", data, 0)
+    hdr = DumpHeader(lF, K, H, W, min_score, G)
+    F = 1 << lF
+    fr = 1 << W
+    n_buckets = F * fr
+    words = np.frombuffer(data, dtype="<u4", offset=24,
+                          count=(len(data) - 24) // 4)
+    # The stream interleaves [size][gid...] with data-dependent strides; hop
+    # bucket to bucket. Size words and gid runs are recovered in one pass.
+    sizes = np.empty(n_buckets, dtype=np.int64)
+    w = words  # local alias; plain-int loop is the portable fallback path
+    pos = 0
+    # Fast path: a fully densified index has exactly G gids per slot, but the
+    # per-bucket split within a slot still requires the sequential hop; do it
+    # with a Python loop over buckets (native extension supersedes this for
+    # very large S+W).
+    for k in range(n_buckets):
+        s = int(w[pos])
+        sizes[k] = s
+        pos += 1 + s
+    total = int(sizes.sum())
+    starts = np.zeros(n_buckets, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    size_word_pos = starts + np.arange(n_buckets, dtype=np.int64)
+    # gid word positions: for gid j (0-based among all gids, in stream order),
+    # it sits at j + (bucket index of j) + 1.
+    bucket_of_gid = np.repeat(np.arange(n_buckets, dtype=np.int64), sizes)
+    gid_words = w[np.arange(total, dtype=np.int64) + bucket_of_gid + 1]
+    del size_word_pos
+    sk = np.full((G, F), -1, dtype=np.int32)
+    slot = bucket_of_gid // fr
+    fp = bucket_of_gid % fr
+    sk[gid_words.astype(np.int64), slot] = fp.astype(np.int32)
+    names_off = 24 + 4 * (pos)
+    names = data[names_off:].decode("utf-8", errors="replace").split("\n")[:G]
+    return hdr, sk, names
+
+
+def save_dump(path: str, p: SketchParams, sketches: np.ndarray, names) -> None:
+    """Write a NIQKI-compatible dump from a dense (G, F) fingerprint matrix.
+
+    Bucket-internal gid order is ascending, which equals the reference's
+    insertion order under its deterministic (single-thread) id assignment.
+    """
+    G, F = sketches.shape if sketches.size else (0, p.F)
+    fr = p.fingerprint_range
+    n_buckets = p.F * fr
+    header = struct.pack("<6I", p.lF, p.K, p.H, p.W, p.min_score, G)
+    if G:
+        valid = (sketches >= 0) & (sketches < fr)
+        flat = (np.arange(F, dtype=np.int64)[None, :] * fr
+                + sketches.astype(np.int64))
+        # slot-major then gid-minor ordering: transpose before raveling.
+        keys = flat.T.ravel()
+        gids = np.broadcast_to(
+            np.arange(G, dtype=np.uint32)[None, :], (F, G)).ravel()
+        ok = valid.T.ravel()
+        keys, gids = keys[ok], gids[ok]
+        order = np.argsort(keys, kind="stable")
+        keys, gids = keys[order], gids[order]
+        counts = np.bincount(keys, minlength=n_buckets).astype("<u4")
+        out_words = np.zeros(n_buckets + len(gids), dtype="<u4")
+        starts = np.zeros(n_buckets, dtype=np.int64)
+        np.cumsum(counts[:-1].astype(np.int64), out=starts[1:])
+        out_words[starts + np.arange(n_buckets, dtype=np.int64)] = counts
+        out_words[np.arange(len(gids), dtype=np.int64) + keys + 1] = gids
+    else:
+        out_words = np.zeros(n_buckets, dtype="<u4")
+    name_blob = "".join(str(n) + "\n" for n in names).encode()
+    with gzip.open(path, "wb") as f:
+        f.write(header)
+        f.write(out_words.tobytes())
+        f.write(name_blob)

@@ -1,0 +1,102 @@
+"""File-level drivers: the reference CLI's insert/query/matrix behaviors.
+
+Mirrors the control flow of /root/reference/src/niqki.cpp:229-456 and the
+file-of-files drivers in /root/reference/src/niqki_index.cpp:383-540,614-743,
+including the path-resolution quirks that matter for output parity:
+
+  * -I/-i/-M resolve fof entries relative to the fof's own directory;
+  * -Q/-l resolve fof entries relative to the CWD (no chdir);
+  * genome names in outputs are the fof lines exactly as written;
+  * missing fof entries are silently skipped;
+  * ids are assigned in fof line order (the reference is only deterministic
+    single-threaded; we standardize on that order, which the golden fixtures
+    use).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .index import SketchIndex
+from .io.fasta import exists, read_fof, read_records
+from .io.writers import (GzTextWriter, write_binary_hits, write_matrix_header,
+                         write_matrix_row, write_pretty_hits)
+
+
+def _fof_entries(fof_path: str):
+    """Yield (name_as_written, resolved_path) for existing entries, resolving
+    relative to the fof's directory (the -I/-M chdir behavior)."""
+    base = os.path.dirname(os.path.abspath(fof_path))
+    for line in read_fof(fof_path):
+        path = line if os.path.isabs(line) else os.path.join(base, line)
+        if exists(path):
+            yield line, path
+
+
+def insert_fof_whole(index: SketchIndex, fof_path: str) -> None:
+    for name, path in _fof_entries(fof_path):
+        index.insert_file_whole(path, name=name)
+
+
+def insert_file_lines(index: SketchIndex, path: str) -> None:
+    # -i also chdirs to the file's directory, but the file is opened there
+    # under its basename, which resolves to the same file; nothing to adjust.
+    index.insert_file_lines(path)
+
+
+def query_fof_whole(index: SketchIndex, fof_path: str, out: GzTextWriter,
+                    pretty: bool = True) -> None:
+    """-Q: each fof entry (resolved from CWD) is sketched whole and queried."""
+    for line in read_fof(fof_path):
+        if not exists(line):
+            continue
+        sk = index.sketch_file(line)
+        hits = index.hits(sk)
+        if pretty:
+            write_pretty_hits(out, line, hits, index.names, index.params.F)
+        else:
+            write_binary_hits(out, line, hits)
+
+
+def query_file_lines(index: SketchIndex, path: str, out: GzTextWriter,
+                     pretty: bool = True) -> None:
+    """-l: each record of the file is a separate query named by its header."""
+    for header, seq in read_records(path, index.params.K):
+        sk = index.sketch_records([seq])
+        hits = index.hits(sk)
+        if pretty:
+            write_pretty_hits(out, header, hits, index.names, index.params.F)
+        else:
+            write_binary_hits(out, header, hits)
+
+
+def query_matrix(index: SketchIndex, out: GzTextWriter,
+                 batch: int = 10000) -> None:
+    """All-vs-all: dense Jaccard matrix of the index against itself."""
+    write_matrix_header(out, index.names)
+    p = index.params
+    mat = index.matrix()
+    for lo in range(0, index.G, batch):
+        hi = min(lo + batch, index.G)
+        counts = index.counts(mat[lo:hi])
+        for r in range(hi - lo):
+            write_matrix_row(out, index.names[lo + r], counts[r].tolist(),
+                             p.F, p.min_score)
+
+
+def query_fof_matrix(index: SketchIndex, fof_path: str, out: GzTextWriter,
+                     batch: int = 256) -> None:
+    """Matrix-formatted rows for external query files (reference's
+    query_file_of_file_whole_matrix; unreachable from its CLI but part of the
+    library surface)."""
+    write_matrix_header(out, index.names)
+    entries = list(_fof_entries(fof_path))
+    for lo in range(0, len(entries), batch):
+        chunk = entries[lo:lo + batch]
+        sks = np.stack([index.sketch_file(path) for _, path in chunk])
+        counts = index.counts(sks)
+        for (name, _), row in zip(chunk, counts):
+            write_matrix_row(out, name, row.tolist(), index.params.F,
+                             index.params.min_score)

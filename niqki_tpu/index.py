@@ -1,0 +1,188 @@
+"""SketchIndex: the dense TPU-native genome sketch index.
+
+Replaces the reference's 2^(S+W) pointer-chased posting lists
+(/root/reference/src/niqki_index.cpp:27, 362-370) with one dense (G, F) int32
+fingerprint matrix: every fully-densified sketch has exactly one fingerprint
+per slot, so the "inverted index" is just the stacked sketches — 2-4 bytes per
+slot instead of a 24-byte vector header per bucket, resident in HBM, and
+queries become blocked equality-count reductions (ops/count.py).
+
+Counts produced are identical to the reference's posting-list scans by
+construction: genome g is in bucket (slot i, fp v) iff sketches[g, i] == v.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from . import oracle
+from .dumpfmt import load_dump, save_dump
+from .io.fasta import read_records
+from .params import SketchParams
+
+
+class SketchIndex:
+    def __init__(self, params: SketchParams, backend: str = "jax"):
+        self.params = params
+        self.backend = backend
+        self.names: list[str] = []
+        self._rows: list[np.ndarray] = []
+        self._mat: np.ndarray | None = None  # consolidated (G, F)
+        self._device_mat = None              # cached device copy
+
+    # ------------------------------------------------------------------
+    # sketching
+    def sketch_records(self, seqs) -> np.ndarray:
+        """Whole-file semantics: all records accumulate into one sketch
+        (per-record min-merge + densify). Returns (F,) int32 with -1 empty."""
+        p = self.params
+        if self.backend == "numpy":
+            return oracle.sketch_records(seqs, p)
+        from .ops.sketch import sketch_codes, INT32_MAX
+        sketch = np.full(p.F, -1, dtype=np.int32)
+        for seq in seqs:
+            eff_fwd, eff_rc = oracle.encode_record(seq, p.K)
+            table = sketch_codes(eff_fwd, eff_rc, p)
+            cur = np.where(sketch == -1, INT32_MAX, sketch)
+            merged = np.minimum(cur, table)
+            sketch = np.where(merged == INT32_MAX, -1, merged).astype(np.int32)
+            oracle.densify(sketch, p)
+        return sketch
+
+    def sketch_file(self, path: str) -> np.ndarray:
+        return self.sketch_records(s for _, s in read_records(path, self.params.K))
+
+    # ------------------------------------------------------------------
+    # insertion
+    def insert_sketch(self, sketch: np.ndarray, name: str) -> int:
+        gid = len(self.names)
+        self.names.append(name)
+        self._rows.append(np.asarray(sketch, np.int32))
+        self._device_mat = None
+        return gid
+
+    def insert_file_whole(self, path: str, name: str | None = None) -> int:
+        return self.insert_sketch(self.sketch_file(path), name or path)
+
+    def insert_file_lines(self, path: str) -> list[int]:
+        """Each record of the file becomes a separate entry named by its
+        header line (including the '>'/'@' prefix)."""
+        gids = []
+        for header, seq in read_records(path, self.params.K):
+            gids.append(self.insert_sketch(
+                self.sketch_records([seq]), header))
+        return gids
+
+    # ------------------------------------------------------------------
+    # the dense matrix
+    @property
+    def G(self) -> int:
+        return len(self.names)
+
+    def matrix(self) -> np.ndarray:
+        if self._mat is None or len(self._mat) != self.G:
+            if self._rows:
+                prev = [self._mat] if self._mat is not None and len(self._mat) else []
+                self._mat = np.vstack(prev + self._rows) if prev else np.vstack(self._rows)
+                self._rows = []
+            elif self._mat is None:
+                self._mat = np.zeros((0, self.params.F), np.int32)
+        return self._mat
+
+    def _device_matrix(self):
+        import jax.numpy as jnp
+        if self._device_mat is None:
+            self._device_mat = jnp.asarray(self.matrix())
+        return self._device_mat
+
+    # ------------------------------------------------------------------
+    # querying
+    def counts(self, q_sketches: np.ndarray) -> np.ndarray:
+        """Hit counts (Q, G) for a batch of query sketches (Q, F)."""
+        q = np.atleast_2d(np.asarray(q_sketches, np.int32))
+        if self.G == 0:
+            return np.zeros((len(q), 0), np.int32)
+        if self.backend == "numpy":
+            mat = self.matrix()
+            out = np.empty((len(q), self.G), np.int32)
+            for i, row in enumerate(q):
+                out[i] = (mat == row[None, :]).sum(axis=1, dtype=np.int32)
+            return out
+        import jax.numpy as jnp
+        from .ops.count import match_counts_blocked
+        res = match_counts_blocked(jnp.asarray(q), self._device_matrix())
+        return np.asarray(res)
+
+    def hits(self, q_sketch: np.ndarray) -> list[tuple[int, int]]:
+        """Thresholded (count, gid) list sorted count desc then gid desc,
+        exactly like the reference's query_sketch ordering."""
+        c = self.counts(q_sketch[None, :])[0]
+        ms = self.params.min_score
+        sel = np.nonzero(c >= ms)[0]
+        order = np.lexsort((-sel, -c[sel].astype(np.int64)))
+        return [(int(c[g]), int(g)) for g in sel[order]]
+
+    def all_vs_all_counts(self) -> np.ndarray:
+        """(G, G) count matrix of the index against itself."""
+        return self.counts(self.matrix())
+
+    # ------------------------------------------------------------------
+    # persistence: NIQKI-compatible dump/load
+    def dump(self, path: str) -> None:
+        save_dump(path, self.params, self.matrix(), self.names)
+
+    @classmethod
+    def load(cls, path: str, backend: str = "jax") -> "SketchIndex":
+        hdr, mat, names = load_dump(path)
+        idx = cls(hdr.params(), backend=backend)
+        idx._mat = mat
+        idx.names = list(names)
+        return idx
+
+    # ------------------------------------------------------------------
+    # persistence: native sharded checkpoint (one npz per genome range)
+    def save_sharded(self, directory: str, num_shards: int = 1) -> None:
+        os.makedirs(directory, exist_ok=True)
+        mat = self.matrix()
+        bounds = np.linspace(0, self.G, num_shards + 1).astype(int)
+        p = self.params
+        manifest = {
+            "format": "niqki_tpu.sharded.v1",
+            "params": {"lF": p.lF, "K": p.K, "W": p.W, "H": p.H,
+                       "min_fract": p.min_fract},
+            "genomes": self.G,
+            "shards": [],
+        }
+        for s in range(num_shards):
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            fn = f"shard_{s:05d}.npz"
+            np.savez_compressed(
+                os.path.join(directory, fn),
+                sketches=mat[lo:hi],
+                names=np.array(self.names[lo:hi], dtype=object),
+            )
+            manifest["shards"].append({"file": fn, "lo": lo, "hi": hi})
+        with open(os.path.join(directory, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    @classmethod
+    def load_sharded(cls, directory: str, backend: str = "jax") -> "SketchIndex":
+        with open(os.path.join(directory, "manifest.json")) as f:
+            manifest = json.load(f)
+        if manifest.get("format") != "niqki_tpu.sharded.v1":
+            raise ValueError(f"unknown checkpoint format in {directory}")
+        pp = manifest["params"]
+        idx = cls(SketchParams(lF=pp["lF"], K=pp["K"], W=pp["W"], H=pp["H"],
+                               min_fract=pp["min_fract"]), backend=backend)
+        mats, names = [], []
+        for sh in manifest["shards"]:
+            z = np.load(os.path.join(directory, sh["file"]), allow_pickle=True)
+            mats.append(z["sketches"])
+            names.extend(z["names"].tolist())
+        idx._mat = (np.vstack(mats) if mats
+                    else np.zeros((0, idx.params.F), np.int32))
+        idx.names = names
+        return idx

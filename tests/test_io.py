@@ -1,0 +1,73 @@
+import gzip
+
+import numpy as np
+
+from niqki_tpu.dumpfmt import load_dump, save_dump
+from niqki_tpu.io.fasta import data_type_of, read_fof, read_records
+from niqki_tpu.params import SketchParams
+from niqki_tpu.io.writers import format_double
+
+
+def test_data_type_of():
+    assert data_type_of("x.fa.gz") == "A"
+    assert data_type_of("x.fq") == "Q"
+    assert data_type_of("x.fastq.gz") == "Q"
+    assert data_type_of("my.fquirky.fa") == "Q"  # substring quirk, as reference
+
+
+def test_read_multiline_fasta(fixtures):
+    recs = list(read_records(str(fixtures / "tiny3.fa"), 31))
+    assert len(recs) == 1
+    assert recs[0][0] == ">tiny3"
+    assert len(recs[0][1]) == 250
+
+
+def test_read_fastq(fixtures):
+    recs = list(read_records(str(fixtures / "tiny.fq"), 31))
+    assert len(recs) == 3
+    assert recs[0][0] == "@read0"
+    assert all(len(s) == 120 for _, s in recs)
+
+
+def test_length_filter(tmp_path):
+    f = tmp_path / "t.fa"
+    f.write_text(">a\n" + "A" * 31 + "\n>b\n" + "A" * 32 + "\n")
+    recs = list(read_records(str(f), 31))
+    assert [h for h, _ in recs] == [">b"]  # len == K is dropped, len > K kept
+
+
+def test_read_fof(tmp_path):
+    f = tmp_path / "fof.txt"
+    f.write_text("abc.fa\nxy\n\nlonger/path.fa.gz\n")
+    assert read_fof(str(f)) == ["abc.fa", "longer/path.fa.gz"]
+
+
+def test_dump_roundtrip(tmp_path):
+    p = SketchParams(lF=4, W=8, H=3)
+    rng = np.random.default_rng(1)
+    sk = rng.integers(0, p.fingerprint_range, size=(5, p.F)).astype(np.int32)
+    path = str(tmp_path / "d.bin")
+    save_dump(path, p, sk, [f"g{i}" for i in range(5)])
+    hdr, sk2, names = load_dump(path)
+    assert (hdr.lF, hdr.K, hdr.W, hdr.H) == (4, 31, 8, 3)
+    np.testing.assert_array_equal(sk, sk2)
+    assert names == [f"g{i}" for i in range(5)]
+
+
+def test_dump_matches_reference_bytes(fixtures, tmp_path):
+    """Re-serializing a reference dump reproduces it byte-for-byte."""
+    path = str(fixtures / "dump_tiny_s5.bin")
+    hdr, sk, names = load_dump(path)
+    out = str(tmp_path / "_tmp_redump.bin")
+    save_dump(out, hdr.params(), sk, names)
+    a = gzip.open(path, "rb").read()
+    b = gzip.open(out, "rb").read()
+    assert a == b
+
+
+def test_format_double():
+    assert format_double(1.0) == "1"
+    assert format_double(0.0) == "0"
+    assert format_double(0.8720703125) == "0.87207"
+    assert format_double(0.967773437) == "0.967773"
+    assert format_double(0.5) == "0.5"

@@ -1,0 +1,95 @@
+"""End-to-end output parity against the reference binary's golden outputs.
+
+Every fixture here was produced by the compiled reference run single-threaded
+on the bundled E. coli genomes (see tests/fixtures/PROVENANCE.md). We compare
+decompressed text byte-for-byte.
+"""
+
+import gzip
+import os
+
+import pytest
+
+from niqki_tpu import SketchIndex, SketchParams
+from niqki_tpu import engine
+from niqki_tpu.io.writers import GzTextWriter
+
+
+def _read_gz_text(path) -> bytes:
+    with gzip.open(path, "rb") as f:
+        return f.read()
+
+
+@pytest.fixture(scope="module")
+def ecoli_index_s10(ecoli_dir):
+    idx = SketchIndex(SketchParams(lF=10))
+    engine.insert_fof_whole(idx, str(ecoli_dir / "file_of_file.txt"))
+    return idx
+
+
+def test_matrix_s10_golden(fixtures, ecoli_dir, ecoli_index_s10, tmp_path):
+    out_path = str(tmp_path / "matrix.gz")
+    with GzTextWriter(out_path) as out:
+        engine.query_matrix(ecoli_index_s10, out)
+    assert _read_gz_text(out_path) == _read_gz_text(fixtures / "matrix_s10.gz")
+
+
+def test_hits_s10_j0_golden(fixtures, ecoli_dir, ecoli_index_s10, tmp_path,
+                            monkeypatch):
+    out_path = str(tmp_path / "hits.gz")
+    monkeypatch.chdir(ecoli_dir)  # -Q resolves fof lines from CWD
+    with GzTextWriter(out_path) as out:
+        engine.query_fof_whole(ecoli_index_s10, "file_of_file.txt", out)
+    assert _read_gz_text(out_path) == _read_gz_text(fixtures / "hits_s10_j0.gz")
+
+
+def test_hits_s10_j095_golden(fixtures, ecoli_dir, ecoli_index_s10, tmp_path,
+                              monkeypatch):
+    import dataclasses
+    idx = SketchIndex(dataclasses.replace(ecoli_index_s10.params,
+                                          min_fract=0.95))
+    idx._mat = ecoli_index_s10.matrix()
+    idx.names = ecoli_index_s10.names
+    out_path = str(tmp_path / "hits.gz")
+    monkeypatch.chdir(ecoli_dir)
+    with GzTextWriter(out_path) as out:
+        engine.query_fof_whole(idx, "file_of_file.txt", out)
+    assert _read_gz_text(out_path) == _read_gz_text(fixtures / "hits_s10_j095.gz")
+
+
+def test_dump_matches_reference(fixtures, ecoli_index_s10, tmp_path):
+    out = str(tmp_path / "dump.bin")
+    ecoli_index_s10.dump(out)
+    assert _read_gz_text(out) == _read_gz_text(fixtures / "dump_s10.bin")
+
+
+def test_load_reference_dump_and_query(fixtures, ecoli_dir, tmp_path,
+                                       monkeypatch):
+    idx = SketchIndex.load(str(fixtures / "dump_s10.bin"))
+    assert idx.G == 9
+    out_path = str(tmp_path / "hits.gz")
+    monkeypatch.chdir(ecoli_dir)
+    with GzTextWriter(out_path) as out:
+        engine.query_fof_whole(idx, "file_of_file.txt", out)
+    assert _read_gz_text(out_path) == _read_gz_text(fixtures / "hits_s10_j0.gz")
+
+
+def test_matrix_s15_golden(fixtures, ecoli_dir, tmp_path):
+    """The headline golden: defaults K=31 S=15 W=12 H=4 must reproduce the
+    README's published distance matrix exactly."""
+    idx = SketchIndex(SketchParams())
+    engine.insert_fof_whole(idx, str(ecoli_dir / "file_of_file.txt"))
+    out_path = str(tmp_path / "matrix.gz")
+    with GzTextWriter(out_path) as out:
+        engine.query_matrix(idx, out)
+    assert _read_gz_text(out_path) == _read_gz_text(fixtures / "matrix_s15.gz")
+
+
+def test_lines_mode_golden(fixtures, tmp_path):
+    for src, fix in [("multi.fa", "lines_fa_s5.gz"), ("tiny.fq", "lines_fq_s5.gz")]:
+        idx = SketchIndex(SketchParams(lF=5))
+        engine.insert_file_lines(idx, str(fixtures / src))
+        out_path = str(tmp_path / (src + ".out.gz"))
+        with GzTextWriter(out_path) as out:
+            engine.query_file_lines(idx, str(fixtures / src), out)
+        assert _read_gz_text(out_path) == _read_gz_text(fixtures / fix), src
