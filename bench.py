@@ -1,0 +1,72 @@
+"""Benchmark: the reference's headline workload on real TPU hardware.
+
+Workload: all-vs-all Jaccard matrix of the 9 bundled E. coli genomes at the
+reference defaults (K=31, S=15, W=12, H=4) — end-to-end wall time including
+gzip decode, encoding, device sketching, densification, counting, and gzip
+output, with outputs verified byte-for-byte against the reference fixture.
+
+Baseline (BASELINE.md): the reference's own internal timers on this exact
+workload sum to 4.41 s single-threaded (1.65 s indexing + 2.76 s matrix);
+its *process* wall time is ~240 s (2^27 posting-list teardown), which we
+charitably exclude.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import gzip
+import json
+import os
+import sys
+import tempfile
+import time
+
+REFERENCE_INTERNAL_S = 4.41  # reference indexing+matrix timers, 1 thread
+FOF = "/root/reference/resources/file_of_file.txt"
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "tests", "fixtures", "matrix_s15.gz")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_once(out_path: str) -> float:
+    from niqki_tpu import SketchIndex, SketchParams, engine
+    from niqki_tpu.io.writers import GzTextWriter
+    t0 = time.time()
+    idx = SketchIndex(SketchParams())
+    engine.insert_fof_whole(idx, FOF)
+    with GzTextWriter(out_path) as out:
+        engine.query_matrix(idx, out)
+    return time.time() - t0
+
+
+def main():
+    import jax
+    log(f"devices: {jax.devices()}")
+    with tempfile.TemporaryDirectory() as td:
+        warm = os.path.join(td, "warm.gz")
+        out = os.path.join(td, "matrix.gz")
+        log("warmup (jit compile)...")
+        t = run_once(warm)
+        log(f"warmup run: {t:.2f}s")
+        t = run_once(out)
+        log(f"timed run: {t:.2f}s")
+        with gzip.open(out) as f, gzip.open(GOLDEN) as g:
+            ok = f.read() == g.read()
+        log(f"output matches reference golden: {ok}")
+        if not ok:
+            print(json.dumps({"metric": "ecoli9_matrix_s15_PARITY_FAIL",
+                              "value": 0.0, "unit": "s", "vs_baseline": 0.0}))
+            return 1
+    print(json.dumps({
+        "metric": "ecoli9_allvsall_matrix_s15_wall",
+        "value": round(t, 4),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_INTERNAL_S / t, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,183 @@
+"""NIQKI-compatible command-line interface.
+
+Flag surface and control flow mirror the reference driver
+(/root/reference/src/niqki.cpp:102-185, 229-456), including its quirks:
+  * defaults K=31 S=15 W=12 H=4 J=0, output "niqkiOutput.gz";
+  * --querylines' short flag is -l (not -q);
+  * -I/-i/-M resolve fof entries relative to the fof's directory, -Q/-l
+    relative to the CWD;
+  * -M indexes its fof only when -I/-i are absent;
+  * output is always the pretty text format (the reference's binary path is
+    dead code via its CLI: pretty_printing is hardcoded true); pass
+    --binary-hits for the reference's documented-but-unreachable binary
+    format;
+  * the timing/info tables are printed in the same layout.
+
+Run as ``python -m niqki_tpu.cli`` or via the ``niqki-tpu`` entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import engine
+from .index import SketchIndex
+from .io.writers import GzTextWriter
+from .params import SketchParams
+
+LOGO = r"""
+     _   _ ___ ___  _  _____   _____ ____  _   _
+    | \ | |_ _/ _ \| |/ /_ _| |_   _|  _ \| | | |
+    |  \| || | | | | ' / | |    | | | |_) | | | |
+    | |\  || | |_| | . \ | |    | | |  __/| |_| |
+    |_| \_|___\__\_\_|\_\___|   |_| |_|    \___/
+        TPU-native k-mer fingerprint indexing
+"""
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="niqki-tpu", add_help=False,
+        description="TPU-native genome-sketch index (NIQKI-compatible CLI)")
+    g = ap.add_argument_group("Input")
+    g.add_argument("-I", "--index", metavar="<file>",
+                   help="Input file of files to Index.")
+    g.add_argument("-Q", "--query", metavar="<file>",
+                   help="Input file of files to Query.")
+    g.add_argument("-i", "--indexlines", metavar="<file>",
+                   help="fa/fq file where each line is a separate entry to Index")
+    g.add_argument("-l", "--querylines", metavar="<file>",
+                   help="fa/fq file where each line is a separate entry to Query")
+    m = ap.add_argument_group("Main parameters")
+    m.add_argument("-K", "--kmer", type=int, default=31, metavar="<int>",
+                   help="Kmer size (31).")
+    m.add_argument("-S", "--sketch", type=int, default=15, metavar="<int>",
+                   help="Set sketch size to 2^S (15).")
+    o = ap.add_argument_group("Output")
+    o.add_argument("-O", "--output", default="niqkiOutput.gz",
+                   metavar="<file>", help="Output file (niqkiOutput.gz)")
+    o.add_argument("-J", "--minjac", type=float, default=0.0, metavar="<f>",
+                   help="Minimal jaccard Index to report (0).")
+    o.add_argument("-P", "--pretty", action="store_true",
+                   help="Human-readable output (always on, as the reference).")
+    o.add_argument("--binary-hits", action="store_true",
+                   help="Binary hits output (the reference's unreachable "
+                        "binary format).")
+    o.add_argument("-M", "--matrix", metavar="<file>",
+                   help="All-vs-all distance matrix for the given fof.")
+    a = ap.add_argument_group("Advanced parameters")
+    a.add_argument("-W", "--word", type=int, default=12, metavar="<int>",
+                   help="Fingerprint size (12).")
+    a.add_argument("-G", "--Genomes_sizes", type=int, default=0,
+                   metavar="<int>", help="Rough expected genome size; "
+                   "auto-tunes H.")
+    a.add_argument("-H", "--HHL", type=int, default=4, metavar="<int>",
+                   help="Hyperloglog section size (4); prefer -G.")
+    f = ap.add_argument_group("Index files")
+    f.add_argument("-D", "--dump", metavar="<file>",
+                   help="Dump the index (NIQKI-compatible format).")
+    f.add_argument("-L", "--load", metavar="<file>",
+                   help="Load a dumped index.")
+    f.add_argument("--save-sharded", metavar="<dir>",
+                   help="Save the native sharded checkpoint.")
+    f.add_argument("--load-sharded", metavar="<dir>",
+                   help="Load a native sharded checkpoint.")
+    f.add_argument("--shards", type=int, default=1,
+                   help="Shard count for --save-sharded.")
+    x = ap.add_argument_group("Other")
+    x.add_argument("-d", "--indexdownload", metavar="<file>",
+                   help="List of NCBI accessions to download and index "
+                        "(experimental).")
+    x.add_argument("--logo", action="store_true",
+                   help="Print ASCII art logo, then exit.")
+    x.add_argument("--backend", default="jax", choices=["jax", "numpy"],
+                   help="Compute backend (default jax).")
+    x.add_argument("-h", "--help", action="help",
+                   help="Print usage and exit.")
+    return ap
+
+
+def _row(label: str, value) -> str:
+    return f"| {label:<34}|{str(value):>30} |"
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.logo and len([a for a in (argv or sys.argv[1:]) if a]) == 1:
+        print(LOGO)
+        return 0
+
+    params = SketchParams(lF=args.sketch, K=args.kmer, W=args.word,
+                          H=args.HHL, min_fract=args.minjac)
+    print("+-------------------------------------------------------------------+")
+    print("|                            Informations                           |")
+    print("+-----------------------------------+-------------------------------+")
+    if args.load:
+        index = SketchIndex.load(args.load, backend=args.backend)
+        index.params = SketchParams(
+            lF=index.params.lF, K=index.params.K, W=index.params.W,
+            H=index.params.H, min_fract=args.minjac)
+    elif args.load_sharded:
+        index = SketchIndex.load_sharded(args.load_sharded,
+                                         backend=args.backend)
+    else:
+        index = SketchIndex(params, backend=args.backend)
+    if args.Genomes_sizes:
+        index.params = index.params.with_best_H(args.Genomes_sizes)
+        print(f"I chosed H={index.params.H}")
+
+    pretty = not args.binary_hits
+    out = GzTextWriter(args.output)
+    t_start = time.time()
+
+    if args.index:
+        engine.insert_fof_whole(index, args.index)
+    if args.indexlines:
+        engine.insert_file_lines(index, args.indexlines)
+    if args.indexdownload:
+        from .downloader import download_ncbi_fof
+        download_ncbi_fof(index, args.indexdownload)
+    if args.dump:
+        index.dump(args.dump)
+    if args.save_sharded:
+        index.save_sharded(args.save_sharded, args.shards)
+
+    t_indexed = time.time()
+    print(_row("Indexing lasted (s)", f"{t_indexed - t_start:g}"))
+
+    if args.matrix:
+        if not args.index and not args.indexlines and not args.load \
+                and not args.load_sharded:
+            t0 = time.time()
+            engine.insert_fof_whole(index, args.matrix)
+            print(_row("Indexing lasted (s)", f"{time.time() - t0:g}"))
+        t0 = time.time()
+        engine.query_matrix(index, out)
+        print(_row("Query lasted (s)", f"{time.time() - t0:g}"))
+    if args.query:
+        engine.query_fof_whole(index, args.query, out, pretty=pretty)
+    if args.querylines:
+        engine.query_file_lines(index, args.querylines, out, pretty=pretty)
+    out.close()
+
+    t_end = time.time()
+    print(_row("Query lasted (s)", f"{t_end - t_indexed:g}"))
+    print(_row("Whole run lasted (s)", f"{t_end - t_start:g}"))
+    if args.logo:
+        print(LOGO)
+        return 0
+    print("+-----------------------------------+-------------------------------+")
+    print(_row("k-mer size", index.params.K))
+    print(_row("S", index.params.lF))
+    print(_row("Number of fingerprints", index.params.F))
+    print(_row("W", index.params.W))
+    print(_row("H", index.params.H))
+    print(_row("Number of indexed genomes", index.G))
+    print("+-----------------------------------+-------------------------------+")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

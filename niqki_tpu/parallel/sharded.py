@@ -1,0 +1,152 @@
+"""Sharded sketch + query pipelines over a ('dp', 'tp') mesh.
+
+TPU-native replacements for the reference's OpenMP threading (SURVEY.md §2.2):
+
+  * DP   — query/ingest batches shard on 'dp' (threads pulling fof lines);
+  * TP   — the index's genome-row axis shards on 'tp' (the shared bucket
+           table + striped locks become per-shard dense matrices, merged by
+           all_gather of count blocks);
+  * SP/CP — sequences split into (K-1)-halo chunks sharded on 'tp'; each
+           chunk sketches independently and a single lax.pmin merges the
+           per-slot minima (min is commutative — no ring pass needed);
+  * EP analog — batch insertion routes new rows to the owning 'tp' shard via
+           masked local scatter after an all_gather (tokens-to-experts).
+
+Everything here is shape-static and jit/shard_map composable; no locks, no
+atomics, deterministic by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..params import SketchParams
+from ..ops.sketch import make_sketcher, INT32_MAX
+from ..ops.densify import densify_device
+
+
+def chunk_codes(codes: np.ndarray, n_chunks: int, K: int):
+    """Split a code array into n_chunks overlapping chunks of C + K codes
+    (C = ceil(n_kmers / n_chunks)) plus per-chunk valid k-mer counts, so that
+    chunk j produces k-mer positions [j*C, (j+1)*C) of the original sequence.
+
+    Returns (chunks (n_chunks, C+K) uint8, n_valid (n_chunks,) int32).
+    """
+    n_kmers = max(len(codes) - K, 0)
+    C = -(-max(n_kmers, 1) // n_chunks)
+    out = np.zeros((n_chunks, C + K), dtype=np.uint8)
+    nv = np.zeros(n_chunks, dtype=np.int32)
+    for j in range(n_chunks):
+        lo = j * C
+        hi = min(lo + C + K, len(codes))
+        if lo < len(codes):
+            out[j, : hi - lo] = codes[lo:hi]
+        nv[j] = min(max(n_kmers - lo, 0), C)
+    return out, nv
+
+
+def sharded_sketch_batch(p: SketchParams, mesh: Mesh, densify: bool = True):
+    """Returns a jitted fn sketching a batch of chunked sequences.
+
+    fn(fwd (Q, T, C+K) u8, rc (Q, T, C+K) u8, n_valid (Q, T) i32) -> (Q, F)
+    int32 sketch tables (INT32_MAX empty; densified on device if requested).
+    Q shards on 'dp', the chunk axis T on 'tp'.
+    """
+    sketcher = make_sketcher(p)
+
+    def per_shard(fwd, rc, nv):
+        # fwd: (Qs, Ts, C+K) on this device
+        def one(fv, rv, n):
+            return sketcher(fv, rv, n)
+        tables = jax.vmap(jax.vmap(one))(fwd, rc, nv)   # (Qs, Ts, F)
+        local = jnp.min(tables, axis=1)                  # merge local chunks
+        merged = jax.lax.pmin(local, axis_name="tp")     # SP/CP collective
+        if densify:
+            merged = jax.vmap(lambda t: densify_device(t, lF=p.lF))(merged)
+        return merged
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("dp", "tp", None), P("dp", "tp", None), P("dp", "tp")),
+        out_specs=P("dp", None),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_count(mesh: Mesh, block_q: int = 128):
+    """Returns a jitted fn(q_sk (Q, F), index (G, F)) -> counts (Q, G) with
+    queries sharded on 'dp', index rows on 'tp', output sharded on both."""
+
+    def per_shard(q, g):
+        return jnp.sum((q[:, None, :] == g[None, :, :]), axis=-1,
+                       dtype=jnp.int32)
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("dp", None), P("tp", None)),
+        out_specs=P("dp", "tp"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_ingest_step(p: SketchParams, mesh: Mesh):
+    """The engine's full 'training step': sketch an ingest batch (SP over
+    chunks), insert it into the sharded index at rows [g0, g0+Q) (EP-style
+    routing to the owning 'tp' shard), and count the batch against the
+    updated index (DP x TP). Jit-compatible, shape-static.
+
+    fn(fwd (Q,T,C+K), rc, n_valid (Q,T), index (G,F), g0 scalar)
+        -> (new_index (G,F), counts (Q,G))
+    """
+    sketcher = make_sketcher(p)
+
+    def step(fwd, rc, nv, index, g0):
+        tp_id = jax.lax.axis_index("tp")
+
+        # --- sketch local batch shard (Qs, Ts, C+K) -> (Qs, F)
+        tables = jax.vmap(jax.vmap(sketcher))(fwd, rc, nv)
+        local = jnp.min(tables, axis=1)
+        merged = jax.lax.pmin(local, axis_name="tp")
+        merged = jax.vmap(lambda t: densify_device(t, lF=p.lF))(merged)
+
+        # --- EP-style insert: gather the dp-sharded batch, route rows to the
+        # owning index shard by global row id.
+        all_sk = jax.lax.all_gather(merged, "dp", axis=0, tiled=True)  # (Q,F)
+        Q = all_sk.shape[0]
+        Gs = index.shape[0]                     # local rows per tp shard
+        shard_lo = tp_id * Gs
+        gpos = g0 + jnp.arange(Q, dtype=jnp.int32)          # global rows
+        lpos = gpos - shard_lo
+        # Rows owned by other shards are remapped to index Gs (out of range,
+        # positive — negative indices would wrap) so mode="drop" discards
+        # them: no read-modify-write races, fully vectorized.
+        lpos = jnp.where((lpos >= 0) & (lpos < Gs), lpos, Gs)
+        index = index.at[lpos].set(all_sk, mode="drop")
+
+        # --- count the local query block against the local index shard
+        counts = jnp.sum(
+            (merged[:, None, :] == index[None, :, :]), axis=-1,
+            dtype=jnp.int32)
+        return index, counts
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("dp", "tp", None), P("dp", "tp", None), P("dp", "tp"),
+                  P("tp", None), P()),
+        out_specs=(P("tp", None), P("dp", "tp")),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_index(index_mat: np.ndarray, mesh: Mesh):
+    """Place a (G, F) index matrix row-sharded over 'tp', replicated on 'dp'."""
+    return jax.device_put(index_mat, NamedSharding(mesh, P("tp", None)))
