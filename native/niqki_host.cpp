@@ -1,0 +1,363 @@
+// niqki_tpu native host runtime: streaming genome ingest for the TPU engine.
+//
+// TPU-native split of responsibilities: the device (JAX/XLA/Pallas) owns all
+// sketch math over encoded arrays; this library owns the host-side hot path
+// that feeds it — gzip decode, FASTA/FASTQ record parsing, 2-bit encoding —
+// plus the two tiny inherently-sequential routines (densification, and a
+// rolling-window CPU sketcher used by the pure-CPU backend and as an
+// independent cross-check of the device kernels).
+//
+// Behavioral contract (bit-for-bit with niqki_tpu.oracle, which documents the
+// reference semantics it matches; see /root/reference/src/niqki_index.cpp:
+// 114-123, 211-221, 255-273 (codec), 277-287 (fingerprint), 291-310 (hashes),
+// 313-331 (densification), 335-358 (sketch loop), 890-952 (record parsing)):
+//   * gzip auto-detected (zlib gzFile reads plain files transparently);
+//   * FASTA: first line is always a header; sequence lines concatenated until
+//     a line starting with '>' or EOF; FASTQ: strictly 4 lines per record;
+//   * records with sequence length <= K are skipped;
+//   * forward codes A=0,C=1,G=2,T=3, everything else (incl. lowercase) 0;
+//     reverse-complement codes A=3,C=2,G=1, else 0; the first K-1 positions
+//     come from the case-insensitive seed packer which zeroes the whole
+//     prefix if any character is not in [ACGTacgt];
+//   * k-mer count is len-K (the final window is never consumed);
+//   * canonical k-mer = min(fwd, rc) as uint64; fingerprint hash=revhash64,
+//     slot = unrevhash64 >> (64-lF); HyperMinHash packing with saturated
+//     exponent; densification is value-keyed sequential one-permutation
+//     hashing with per-pass step increments.
+//
+// C ABI only; consumed from Python via ctypes (no pybind11 dependency).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <new>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr uint64_t kRevC = 0xD6E8FEB86659FD93ULL;
+constexpr uint64_t kUnrevC = 0xCFEE444D8B59A89BULL;
+
+inline uint64_t revhash64(uint64_t x) {
+  x = ((x >> 32) ^ x) * kRevC;
+  x = ((x >> 32) ^ x) * kRevC;
+  return (x >> 32) ^ x;
+}
+
+inline uint64_t unrevhash64(uint64_t x) {
+  x = ((x >> 32) ^ x) * kUnrevC;
+  x = ((x >> 32) ^ x) * kUnrevC;
+  return (x >> 32) ^ x;
+}
+
+inline int clz64(uint64_t x) { return x ? __builtin_clzll(x) : 64; }
+
+struct Luts {
+  uint8_t fwd[256];
+  uint8_t rc[256];
+  uint8_t seed[256];  // 255 = invalid
+  Luts() {
+    std::memset(fwd, 0, sizeof fwd);
+    std::memset(rc, 0, sizeof rc);
+    std::memset(seed, 255, sizeof seed);
+    fwd['C'] = 1; fwd['G'] = 2; fwd['T'] = 3;
+    rc['A'] = 3; rc['C'] = 2; rc['G'] = 1;
+    const char* bases = "ACGT";
+    for (int i = 0; i < 4; ++i) {
+      seed[(uint8_t)bases[i]] = (uint8_t)i;
+      seed[(uint8_t)(bases[i] + 32)] = (uint8_t)i;  // lowercase
+    }
+  }
+};
+const Luts kLuts;
+
+// ---------------------------------------------------------------------------
+// Buffered gzip line reader. zlib's gzgets is slow; read 1 MiB chunks and
+// split lines ourselves (the same buffering idea as the reference's vendored
+// zstr streambuf, re-implemented over the zlib C API).
+class LineReader {
+ public:
+  explicit LineReader(const char* path)
+      : file_(gzopen(path, "rb")), buf_(1 << 20), pos_(0), end_(0), eof_(false) {
+    if (file_) gzbuffer(file_, 1 << 20);
+  }
+  ~LineReader() {
+    if (file_) gzclose(file_);
+  }
+  bool ok() const { return file_ != nullptr; }
+
+  // Appends the next line (without trailing '\n') to out; returns false at EOF
+  // when no characters were read.
+  bool getline(std::string* out) {
+    out->clear();
+    if (!file_) return false;
+    for (;;) {
+      if (pos_ == end_) {
+        if (eof_) return !out->empty();
+        int n = gzread(file_, buf_.data(), (unsigned)buf_.size());
+        if (n <= 0) {
+          eof_ = true;
+          return !out->empty();
+        }
+        pos_ = 0;
+        end_ = (size_t)n;
+      }
+      char* base = buf_.data() + pos_;
+      size_t avail = end_ - pos_;
+      void* nl = std::memchr(base, '\n', avail);
+      if (nl) {
+        size_t len = (char*)nl - base;
+        out->append(base, len);
+        pos_ += len + 1;
+        return true;
+      }
+      out->append(base, avail);
+      pos_ = end_;
+    }
+  }
+
+  // True once the underlying stream is exhausted and the buffer drained.
+  bool at_eof() {
+    if (pos_ != end_) return false;
+    if (eof_) return true;
+    int n = gzread(file_, buf_.data(), (unsigned)buf_.size());
+    if (n <= 0) {
+      eof_ = true;
+      return true;
+    }
+    pos_ = 0;
+    end_ = (size_t)n;
+    return false;
+  }
+
+ private:
+  gzFile file_;
+  std::vector<char> buf_;
+  size_t pos_, end_;
+  bool eof_;
+};
+
+// Encode seq into eff_fwd/eff_rc (resized to seq length), with the seed-prefix
+// rule applied to the first K-1 positions.
+void encode_record(const std::string& seq, int64_t K,
+                   std::vector<uint8_t>* eff_fwd, std::vector<uint8_t>* eff_rc) {
+  const size_t n = seq.size();
+  eff_fwd->resize(n);
+  eff_rc->resize(n);
+  const uint8_t* s = (const uint8_t*)seq.data();
+  for (size_t i = 0; i < n; ++i) {
+    (*eff_fwd)[i] = kLuts.fwd[s[i]];
+    (*eff_rc)[i] = kLuts.rc[s[i]];
+  }
+  const size_t p = (size_t)K - 1 < n ? (size_t)K - 1 : n;
+  bool valid = true;
+  for (size_t i = 0; i < p && valid; ++i) valid = kLuts.seed[s[i]] != 255;
+  for (size_t i = 0; i < p; ++i) {
+    uint8_t c = valid ? kLuts.seed[s[i]] : 0;
+    (*eff_fwd)[i] = c;
+    (*eff_rc)[i] = (uint8_t)(3 - c);
+  }
+}
+
+struct Reader {
+  LineReader lr;
+  int64_t K;
+  bool fastq;
+  bool started = false;       // FASTA: header of the *next* record
+  std::string pending_header;
+  std::string header;
+  std::string seq;
+  std::vector<uint8_t> eff_fwd, eff_rc;
+  std::vector<uint32_t> packed;
+  std::vector<int32_t> exc;
+  Reader(const char* path, int64_t k, bool fq) : lr(path), K(k), fastq(fq) {}
+};
+
+// Reads the next raw record (any length) into r->header / r->seq.
+// Returns false at EOF.
+bool next_raw_record(Reader* r) {
+  std::string line;
+  if (r->fastq) {
+    if (!r->lr.getline(&r->header)) return false;
+    if (!r->lr.getline(&r->seq)) return false;
+    r->lr.getline(&line);
+    r->lr.getline(&line);
+    return true;
+  }
+  if (!r->started) {
+    if (!r->lr.getline(&r->pending_header)) return false;
+    r->started = true;
+  } else if (r->pending_header.empty() && r->lr.at_eof()) {
+    return false;
+  }
+  r->header = r->pending_header;
+  r->pending_header.clear();
+  r->seq.clear();
+  while (r->lr.getline(&line)) {
+    if (!line.empty() && line[0] == '>') {
+      r->pending_header = line;
+      return true;
+    }
+    r->seq += line;
+  }
+  // EOF: last record. Mark exhaustion via empty pending + eof.
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ftype: 0 = by filename (".fq"/".fastq" substring -> FASTQ), 1 = FASTA,
+// 2 = FASTQ. Returns nullptr if the file cannot be opened.
+void* nq_reader_open(const char* path, int64_t K, int ftype) {
+  bool fq;
+  if (ftype == 1) {
+    fq = false;
+  } else if (ftype == 2) {
+    fq = true;
+  } else {
+    std::string p(path);
+    fq = p.find(".fq") != std::string::npos ||
+         p.find(".fastq") != std::string::npos;
+  }
+  Reader* r = new (std::nothrow) Reader(path, K, fq);
+  if (!r || !r->lr.ok()) {
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+// Yields the next record with seq length > K, encoded. Pointers remain valid
+// until the next call on this handle (or close). Returns 1 on success, 0 at
+// EOF.
+int nq_reader_next(void* handle, const char** header, int64_t* header_len,
+                   const uint8_t** eff_fwd, const uint8_t** eff_rc,
+                   int64_t* seq_len) {
+  Reader* r = (Reader*)handle;
+  for (;;) {
+    if (!next_raw_record(r)) return 0;
+    if ((int64_t)r->seq.size() > r->K) break;
+    if (!r->fastq && r->pending_header.empty() && r->lr.at_eof()) return 0;
+  }
+  encode_record(r->seq, r->K, &r->eff_fwd, &r->eff_rc);
+  *header = r->header.data();
+  *header_len = (int64_t)r->header.size();
+  *eff_fwd = r->eff_fwd.data();
+  *eff_rc = r->eff_rc.data();
+  *seq_len = (int64_t)r->seq.size();
+  return 1;
+}
+
+void nq_reader_close(void* handle) { delete (Reader*)handle; }
+
+// Packed variant of nq_reader_next: emits the forward codes 2-bit-packed
+// (base i in bits [2*(i%16), 2*(i%16)+2) of word i/16, little-endian) plus
+// the list of "rc exceptions" — positions i >= K-1 whose character is not in
+// [ACGT], where the true reverse-complement code is 0 rather than the
+// derived 3 - fwd. The device kernel reconstructs eff_rc = 3 - fwd and
+// zeroes the exception positions, so only 2 bits/base + a (normally empty)
+// exception list ever cross the host->device link.
+int nq_reader_next_packed(void* handle, const char** header,
+                          int64_t* header_len, const uint32_t** packed,
+                          int64_t* n_words, const int32_t** exc_idx,
+                          int64_t* n_exc, int64_t* seq_len) {
+  Reader* r = (Reader*)handle;
+  for (;;) {
+    if (!next_raw_record(r)) return 0;
+    if ((int64_t)r->seq.size() > r->K) break;
+    if (!r->fastq && r->pending_header.empty() && r->lr.at_eof()) return 0;
+  }
+  const std::string& seq = r->seq;
+  const uint8_t* s = (const uint8_t*)seq.data();
+  const size_t n = seq.size();
+  r->packed.assign((n + 15) / 16, 0);
+  r->exc.clear();
+  uint32_t* w = r->packed.data();
+  const size_t p = (size_t)r->K - 1;  // seq longer than K here
+  bool valid = true;
+  for (size_t i = 0; i < p && valid; ++i) valid = kLuts.seed[s[i]] != 255;
+  for (size_t i = 0; i < p; ++i) {
+    uint32_t c = valid ? kLuts.seed[s[i]] : 0;
+    w[i >> 4] |= c << (2 * (i & 15));
+  }
+  for (size_t i = p; i < n; ++i) {
+    const uint8_t ch = s[i];
+    w[i >> 4] |= (uint32_t)kLuts.fwd[ch] << (2 * (i & 15));
+    if (kLuts.seed[ch] == 255 || (ch >= 'a'))  // not uppercase ACGT
+      r->exc.push_back((int32_t)i);
+  }
+  *header = r->header.data();
+  *header_len = (int64_t)r->header.size();
+  *packed = r->packed.data();
+  *n_words = (int64_t)r->packed.size();
+  *exc_idx = r->exc.data();
+  *n_exc = (int64_t)r->exc.size();
+  *seq_len = (int64_t)n;
+  return 1;
+}
+
+// ---------------------------------------------------------------------------
+// Sequential one-permutation-hashing densification, in place on sketch[F]
+// (int32, -1 = empty). Bit-exact with niqki_tpu.oracle.densify.
+void nq_densify(int32_t* sketch, int64_t F) {
+  int64_t empty = 0;
+  for (int64_t i = 0; i < F; ++i) empty += sketch[i] == -1;
+  if (empty == 0 || empty == F) return;
+  for (uint64_t step = 0; empty != 0; ++step) {
+    for (int64_t i = 0; i < F; ++i) {
+      int32_t v = sketch[i];
+      if (v == -1) continue;
+      uint64_t uv = (uint64_t)(int64_t)v;
+      uint64_t t = (unrevhash64(uv) + step * revhash64(uv)) % (uint64_t)F;
+      if (sketch[t] == -1) {
+        sketch[t] = v;
+        if (--empty == 0) return;
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Rolling-window CPU sketcher over encoded arrays: min-merges the n-K k-mer
+// fingerprints of one record into table[2^lF] (int32, INT32_MAX = empty).
+// Pure-CPU backend + independent oracle for the device kernels.
+void nq_sketch_codes(const uint8_t* eff_fwd, const uint8_t* eff_rc, int64_t n,
+                     int64_t K, int64_t lF, int64_t W, int64_t H,
+                     int32_t* table) {
+  const int64_t nk = n - K;
+  if (nk <= 0) return;
+  const int M = (int)(W - H);
+  const int32_t max_rem = (int32_t)((1 << H) - 1);
+  const uint64_t mask_M = (1ULL << M) - 1;
+  const uint64_t mask2K = (2 * K < 64) ? ((1ULL << (2 * K)) - 1) : ~0ULL;
+  const int rc_top = (int)(2 * (K - 1));
+
+  // Seed the rolling states with the first K-1 bases; window i covers
+  // [i, i+K).  fwd has codes[i] in the top 2 bits, rc in the bottom.
+  uint64_t fwd = 0, rc = 0;
+  for (int64_t j = 0; j < K - 1; ++j) {
+    fwd = (fwd << 2) | eff_fwd[j];
+    rc = (rc >> 2) | ((uint64_t)eff_rc[j] << rc_top);
+  }
+  for (int64_t i = 0; i < nk; ++i) {
+    fwd = ((fwd << 2) | eff_fwd[i + K - 1]) & mask2K;
+    rc = (rc >> 2) | ((uint64_t)eff_rc[i + K - 1] << rc_top);
+    const uint64_t canon = fwd < rc ? fwd : rc;
+    const uint64_t h = revhash64(canon);
+    const uint64_t slot = unrevhash64(canon) >> (64 - lF);
+    int32_t rem = max_rem - clz64(h);
+    if (rem < 0) rem = 0;
+    const int32_t fp = (int32_t)(((uint64_t)rem << M) | (h & mask_M));
+    if (fp < table[slot]) table[slot] = fp;
+  }
+}
+
+// Version tag so the Python wrapper can detect ABI drift.
+int64_t nq_abi_version() { return 2; }
+
+}  // extern "C"

@@ -36,8 +36,10 @@ def _fof_entries(fof_path: str):
 
 
 def insert_fof_whole(index: SketchIndex, fof_path: str) -> None:
-    for name, path in _fof_entries(fof_path):
-        index.insert_file_whole(path, name=name)
+    entries = list(_fof_entries(fof_path))
+    sketches = index.sketch_files([p for _, p in entries])
+    for (name, _), sk in zip(entries, sketches):
+        index.insert_sketch(sk, name)
 
 
 def insert_file_lines(index: SketchIndex, path: str) -> None:
@@ -47,17 +49,24 @@ def insert_file_lines(index: SketchIndex, path: str) -> None:
 
 
 def query_fof_whole(index: SketchIndex, fof_path: str, out: GzTextWriter,
-                    pretty: bool = True) -> None:
-    """-Q: each fof entry (resolved from CWD) is sketched whole and queried."""
-    for line in read_fof(fof_path):
-        if not exists(line):
-            continue
-        sk = index.sketch_file(line)
-        hits = index.hits(sk)
-        if pretty:
-            write_pretty_hits(out, line, hits, index.names, index.params.F)
-        else:
-            write_binary_hits(out, line, hits)
+                    pretty: bool = True, batch: int = 1024) -> None:
+    """-Q: each fof entry (resolved from CWD) is sketched whole and queried.
+
+    Sketching is pipelined and hit counting batched (one device round-trip
+    per ``batch`` queries); output rows stream in fof order.
+    """
+    lines = [ln for ln in read_fof(fof_path) if exists(ln)]
+    for lo in range(0, len(lines), batch):
+        chunk = lines[lo:lo + batch]
+        sks = index.sketch_files(chunk)
+        counts = index.counts(np.stack(sks)) if sks else []
+        for name, c in zip(chunk, counts):
+            hits = index.hits_from_counts(c)
+            if pretty:
+                write_pretty_hits(out, name, hits, index.names,
+                                  index.params.F)
+            else:
+                write_binary_hits(out, name, hits)
 
 
 def query_file_lines(index: SketchIndex, path: str, out: GzTextWriter,

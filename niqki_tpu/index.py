@@ -13,15 +13,25 @@ construction: genome g is in bucket (slot i, fp v) iff sketches[g, i] == v.
 
 from __future__ import annotations
 
+import collections
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-from . import oracle
+from . import native, oracle
 from .dumpfmt import load_dump, save_dump
 from .io.fasta import read_records
 from .params import SketchParams
+
+
+def _densify(sketch: np.ndarray, p: SketchParams) -> None:
+    """In-place densification: native C++ when built, oracle otherwise."""
+    if native.available():
+        native.densify(sketch)
+    else:
+        oracle.densify(sketch, p)
 
 
 class SketchIndex:
@@ -49,11 +59,99 @@ class SketchIndex:
             cur = np.where(sketch == -1, INT32_MAX, sketch)
             merged = np.minimum(cur, table)
             sketch = np.where(merged == INT32_MAX, -1, merged).astype(np.int32)
-            oracle.densify(sketch, p)
+            _densify(sketch, p)
         return sketch
 
     def sketch_file(self, path: str) -> np.ndarray:
         return self.sketch_records(s for _, s in read_records(path, self.params.K))
+
+    # ------------------------------------------------------------------
+    # pipelined many-file sketching
+    def _load_packed(self, path: str):
+        """Host phase: parse + pack every record of one file into the 2-bit
+        wire format (words, n_bases, exc_idx).
+
+        Uses the native C++ reader (gzip + parse + pack, GIL released, so the
+        thread pool gets real parallelism) when built; pure Python io.fasta +
+        oracle + pack_codes otherwise.
+        """
+        p = self.params
+        if native.available():
+            return [(w, n, e) for _, w, n, e
+                    in native.read_packed_records(path, p.K)]
+        from .ops.sketch import pack_codes
+        return [pack_codes(*oracle.encode_record(s, p.K), p.K)
+                for _, s in read_records(path, p.K)]
+
+    def _finalize_tables(self, tables) -> np.ndarray:
+        """Sequential per-record min-merge + densify (reference semantics:
+        densified fillers from earlier records participate in later mins)."""
+        p = self.params
+        from .ops.sketch import INT32_MAX
+        sketch = np.full(p.F, -1, dtype=np.int32)
+        for t in tables:
+            if t is None:
+                continue
+            table = np.asarray(t)
+            cur = np.where(sketch == -1, INT32_MAX, sketch)
+            merged = np.minimum(cur, table)
+            sketch = np.where(merged == INT32_MAX, -1, merged).astype(np.int32)
+            _densify(sketch, p)
+        return sketch
+
+    def sketch_files(self, paths, window: int = 32,
+                     io_threads: int | None = None) -> list[np.ndarray]:
+        """Whole-file sketches for many files, fully pipelined and batched.
+
+        Per window of files: host read+encode on a thread pool (the native
+        reader releases the GIL), then ALL the window's records are stacked
+        and shipped in one transfer and sketched by one vmapped kernel call
+        (the transport pays ~46ms fixed cost per separate copy), while the
+        next window loads and the previous window's tables are collected and
+        densified. Memory stays bounded by two windows in flight, so this
+        scales to very large fofs.
+        """
+        paths = list(paths)
+        if self.backend == "numpy":
+            return [self.sketch_file(p) for p in paths]
+        from .ops.sketch import dispatch_sketch_packed_batch
+        p = self.params
+        out: list = [None] * len(paths)
+        io_threads = io_threads or min(8, os.cpu_count() or 1)
+        pending = None
+
+        def collect(pend) -> None:
+            w0, rec_counts, batches = pend
+            rows: dict[int, np.ndarray] = {}
+            for chunk, dev in batches:
+                host = np.asarray(dev)  # one d2h per batch
+                for row, reci in enumerate(chunk):
+                    rows[reci] = host[row]
+            k = 0
+            for fi, cnt in enumerate(rec_counts):
+                out[w0 + fi] = self._finalize_tables(
+                    [rows.get(k + ri) for ri in range(cnt)])
+                k += cnt
+
+        with ThreadPoolExecutor(max_workers=io_threads) as pool:
+            def submit(w0):
+                return (w0, [pool.submit(self._load_packed, pa)
+                             for pa in paths[w0:w0 + window]])
+
+            sub = submit(0) if paths else None
+            while sub is not None:
+                w0, futs = sub
+                encs = [f.result() for f in futs]
+                nxt = w0 + window
+                sub = submit(nxt) if nxt < len(paths) else None
+                records = [rec for recs in encs for rec in recs]
+                batches = dispatch_sketch_packed_batch(records, p)
+                if pending is not None:
+                    collect(pending)
+                pending = (w0, [len(recs) for recs in encs], batches)
+            if pending is not None:
+                collect(pending)
+        return out
 
     # ------------------------------------------------------------------
     # insertion
@@ -116,14 +214,17 @@ class SketchIndex:
         res = match_counts_blocked(jnp.asarray(q), self._device_matrix())
         return np.asarray(res)
 
-    def hits(self, q_sketch: np.ndarray) -> list[tuple[int, int]]:
+    def hits_from_counts(self, c: np.ndarray) -> list[tuple[int, int]]:
         """Thresholded (count, gid) list sorted count desc then gid desc,
         exactly like the reference's query_sketch ordering."""
-        c = self.counts(q_sketch[None, :])[0]
+        c = np.asarray(c)
         ms = self.params.min_score
         sel = np.nonzero(c >= ms)[0]
         order = np.lexsort((-sel, -c[sel].astype(np.int64)))
         return [(int(c[g]), int(g)) for g in sel[order]]
+
+    def hits(self, q_sketch: np.ndarray) -> list[tuple[int, int]]:
+        return self.hits_from_counts(self.counts(q_sketch[None, :])[0])
 
     def all_vs_all_counts(self) -> np.ndarray:
         """(G, G) count matrix of the index against itself."""

@@ -1,0 +1,202 @@
+"""ctypes bindings for the native host runtime (native/niqki_host.cpp).
+
+The C++ library owns the host-side hot path — gzip decode, FASTA/FASTQ
+parsing, 2-bit encoding — plus the small inherently-sequential routines
+(densification, rolling CPU sketcher). Everything degrades gracefully to the
+pure-Python implementations when the library is absent; ``available()``
+reports which path is active.
+
+The library is built with ``make -C native`` (plain g++ + zlib, no pybind11);
+on first import this module attempts that build automatically if the shared
+object is missing (disable with NIQKI_TPU_NO_NATIVE_BUILD=1, force-disable
+the native path entirely with NIQKI_TPU_NO_NATIVE=1).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libniqki_host.so")
+
+_lib = None
+_tried = False
+
+
+def _try_build() -> None:
+    if os.environ.get("NIQKI_TPU_NO_NATIVE_BUILD"):
+        return
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("NIQKI_TPU_NO_NATIVE"):
+        return None
+    if not os.path.exists(_SO_PATH):
+        _try_build()
+    if not os.path.exists(_SO_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.nq_reader_open.restype = ctypes.c_void_p
+    lib.nq_reader_open.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                   ctypes.c_int]
+    lib.nq_reader_next.restype = ctypes.c_int
+    lib.nq_reader_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.nq_reader_close.restype = None
+    lib.nq_reader_close.argtypes = [ctypes.c_void_p]
+    lib.nq_densify.restype = None
+    lib.nq_densify.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64]
+    lib.nq_sketch_codes.restype = None
+    lib.nq_sketch_codes.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    lib.nq_reader_next_packed.restype = ctypes.c_int
+    lib.nq_reader_next_packed.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.nq_abi_version.restype = ctypes.c_int64
+    lib.nq_abi_version.argtypes = []
+    if lib.nq_abi_version() != 2:
+        return None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_encoded_records(path: str, K: int,
+                         ftype: str | None = None
+                         ) -> Iterator[Tuple[str, np.ndarray, np.ndarray]]:
+    """Yield (header, eff_fwd, eff_rc) for records with length > K.
+
+    Same record semantics as io.fasta.read_records + oracle.encode_record,
+    but gzip decode / parse / encode all run in C++ (and release the GIL, so
+    a thread pool parallelizes across files).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ft = {None: 0, "A": 1, "Q": 2}[ftype]
+    h = lib.nq_reader_open(path.encode(), K, ft)
+    if not h:
+        raise OSError(f"cannot open {path}")
+    try:
+        hdr = ctypes.c_char_p()
+        hlen = ctypes.c_int64()
+        pf = ctypes.c_void_p()
+        pr = ctypes.c_void_p()
+        slen = ctypes.c_int64()
+        while lib.nq_reader_next(h, ctypes.byref(hdr), ctypes.byref(hlen),
+                                 ctypes.byref(pf), ctypes.byref(pr),
+                                 ctypes.byref(slen)) == 1:
+            n = slen.value
+            eff_fwd = np.ctypeslib.as_array(
+                ctypes.cast(pf, ctypes.POINTER(ctypes.c_uint8)), (n,)).copy()
+            eff_rc = np.ctypeslib.as_array(
+                ctypes.cast(pr, ctypes.POINTER(ctypes.c_uint8)), (n,)).copy()
+            header = ctypes.string_at(hdr, hlen.value).decode(
+                "utf-8", "replace")
+            yield header, eff_fwd, eff_rc
+    finally:
+        lib.nq_reader_close(h)
+
+
+def read_packed_records(path: str, K: int,
+                        ftype: str | None = None
+                        ) -> Iterator[Tuple[str, np.ndarray, int, np.ndarray]]:
+    """Yield (header, packed_words, n_bases, exc_idx) per record (len > K).
+
+    packed_words: uint32 array, base i's forward code in bits 2*(i%16) of
+    word i//16. exc_idx: int32 positions (>= K-1) where the true reverse-
+    complement code is 0 instead of the derived 3 - fwd (non-ACGT chars).
+    This is the wire format of the TPU ingest path: 2 bits/base.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ft = {None: 0, "A": 1, "Q": 2}[ftype]
+    h = lib.nq_reader_open(path.encode(), K, ft)
+    if not h:
+        raise OSError(f"cannot open {path}")
+    try:
+        hdr = ctypes.c_char_p()
+        hlen = ctypes.c_int64()
+        pw = ctypes.c_void_p()
+        nw = ctypes.c_int64()
+        pe = ctypes.c_void_p()
+        ne = ctypes.c_int64()
+        slen = ctypes.c_int64()
+        while lib.nq_reader_next_packed(
+                h, ctypes.byref(hdr), ctypes.byref(hlen), ctypes.byref(pw),
+                ctypes.byref(nw), ctypes.byref(pe), ctypes.byref(ne),
+                ctypes.byref(slen)) == 1:
+            words = np.ctypeslib.as_array(
+                ctypes.cast(pw, ctypes.POINTER(ctypes.c_uint32)),
+                (nw.value,)).copy()
+            if ne.value:
+                exc = np.ctypeslib.as_array(
+                    ctypes.cast(pe, ctypes.POINTER(ctypes.c_int32)),
+                    (ne.value,)).copy()
+            else:
+                exc = np.zeros(0, np.int32)
+            header = ctypes.string_at(hdr, hlen.value).decode(
+                "utf-8", "replace")
+            yield header, words, slen.value, exc
+    finally:
+        lib.nq_reader_close(h)
+
+
+def densify(sketch: np.ndarray) -> None:
+    """In-place densification; bit-exact with oracle.densify."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    assert sketch.dtype == np.int32 and sketch.flags.c_contiguous
+    lib.nq_densify(sketch, sketch.shape[0])
+
+
+def sketch_codes_cpu(eff_fwd: np.ndarray, eff_rc: np.ndarray,
+                     lF: int, K: int, W: int, H: int,
+                     table: np.ndarray | None = None) -> np.ndarray:
+    """Rolling-window CPU sketcher; min-merges into ``table`` (INT32_MAX
+    empty sentinel). Bit-exact with the device kernel pre-densification."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if table is None:
+        table = np.full(1 << lF, np.iinfo(np.int32).max, np.int32)
+    eff_fwd = np.ascontiguousarray(eff_fwd, np.uint8)
+    eff_rc = np.ascontiguousarray(eff_rc, np.uint8)
+    lib.nq_sketch_codes(eff_fwd, eff_rc, len(eff_fwd), K, lF, W, H, table)
+    return table

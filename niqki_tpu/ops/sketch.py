@@ -57,8 +57,7 @@ def _kmer_pairs(codes: jnp.ndarray, K: int, reverse: bool):
     return hi, lo
 
 
-@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H"))
-def _sketch_codes_impl(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
+def _sketch_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
     F = 1 << lF
     M = W - H
     maximal_remainder = (1 << H) - 1
@@ -81,31 +80,184 @@ def _sketch_codes_impl(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
     rem = jnp.maximum(0, maximal_remainder - lz)
     fp = ((rem << M) | (h_lo & mask_M).astype(jnp.int32)).astype(jnp.int32)
 
-    # mask padding, then segmented min into the F slots
+    # Mask padding, then per-slot min. XLA's scatter and gather both measure
+    # ~12ns/element on TPU (serialized), so the segmented min is reformulated
+    # as sort + vectorized binary search: one composite key (slot | fp) sorts
+    # k-mers into slot runs, whose heads are exactly the per-slot minima.
     idx = jnp.arange(fp.shape[0], dtype=jnp.int32)
+    # <= 30 keeps the INT32_MAX padding key strictly above any real
+    # (slot, fp) key, so padding can never alias a genuine fingerprint.
+    if lF + W <= 30:
+        key = jnp.where(idx < n_kmers, (slot << W) | fp, INT32_MAX)
+        sk = jnp.sort(key)
+        targets = jnp.arange(F, dtype=jnp.int32) << W
+        starts = jnp.minimum(jnp.searchsorted(sk, targets), sk.shape[0] - 1)
+        v = sk[starts]
+        hit = (v >> W) == jnp.arange(F, dtype=jnp.int32)
+        return jnp.where(hit & (v != INT32_MAX), v & ((1 << W) - 1),
+                         INT32_MAX).astype(jnp.int32)
     fp = jnp.where(idx < n_kmers, fp, INT32_MAX)
     table = jnp.full((F,), INT32_MAX, jnp.int32)
     return table.at[slot].min(fp, mode="drop")
 
 
-def sketch_codes(eff_fwd: np.ndarray, eff_rc: np.ndarray, p: SketchParams):
-    """Sketch one record's effective code arrays on device.
+_sketch_codes_impl = jax.jit(_sketch_core,
+                             static_argnames=("lF", "K", "W", "H"))
 
-    Returns an (F,) int32 numpy array of per-slot min fingerprints with
-    INT32_MAX for empty slots (pre-densification).
+# Batched variant: (B, P) code arrays, (B,) n_kmers -> (B, F) tables. One
+# transfer + one kernel per window of records: the transport pays a large
+# fixed cost per host->device copy (~46ms via the axon tunnel vs ~0.7ms/MB
+# of bandwidth), so records are always shipped stacked.
+@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H"))
+def _sketch_batch_impl(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
+    core = functools.partial(_sketch_core, lF=lF, K=K, W=W, H=H)
+    return jax.vmap(core)(eff_fwd, eff_rc, n_kmers)
+
+
+def _sketch_packed_core(words, n_kmers, exc_idx, *, lF, K, W, H):
+    """Sketch from the 2-bit wire format: unpack forward codes, derive the
+    reverse-complement as 3 - code, zero the exception positions, then run
+    the standard core. words: (Pw,) uint32; exc_idx: (E,) int32 with large
+    positive padding (dropped by the bounded scatter)."""
+    shifts = (2 * jnp.arange(16, dtype=jnp.int32)).astype(jnp.uint32)
+    codes = ((words[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8)
+    codes = codes.reshape(-1)
+    eff_rc = (3 - codes).astype(jnp.uint8)
+    eff_rc = eff_rc.at[exc_idx].set(0, mode="drop")
+    return _sketch_core(codes, eff_rc, n_kmers, lF=lF, K=K, W=W, H=H)
+
+
+@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H"))
+def _sketch_packed_batch_impl(words, n_kmers, exc_idx, *, lF, K, W, H):
+    core = functools.partial(_sketch_packed_core, lF=lF, K=K, W=W, H=H)
+    return jax.vmap(core)(words, n_kmers, exc_idx)
+
+
+EXC_PAD = 1 << 30  # out-of-range scatter index: dropped by mode="drop"
+
+
+def pack_codes(eff_fwd: np.ndarray, eff_rc: np.ndarray, K: int):
+    """Python fallback for the native packed reader: (words, n, exc_idx)."""
+    n = len(eff_fwd)
+    nw = (n + 15) // 16
+    c = np.zeros(nw * 16, np.uint32)
+    c[:n] = eff_fwd
+    c = c.reshape(nw, 16)
+    words = np.zeros(nw, np.uint32)
+    for j in range(16):
+        words |= c[:, j] << np.uint32(2 * j)
+    body = slice(K - 1, n)
+    exc = np.nonzero(eff_rc[body] != (3 - eff_fwd[body]))[0].astype(np.int32)
+    return words, n, exc + np.int32(K - 1)
+
+
+def dispatch_sketch_packed_batch(records, p: SketchParams,
+                                 max_elems: int = 1 << 27):
+    """Like dispatch_sketch_batch but over packed records
+    (words, n_bases, exc_idx): 2 bits/base on the wire, one transfer and one
+    vmapped kernel per batch. Returns [(record_indices, device_(B,F))]."""
+    groups: dict[int, list[int]] = {}
+    for i, (_, n, _e) in enumerate(records):
+        if n - p.K > 0:
+            groups.setdefault(padded_size(n), []).append(i)
+    out = []
+    for P, idxs in sorted(groups.items()):
+        maxb = max(1, (max_elems // 4) // P)  # words are 4x denser
+        for lo in range(0, len(idxs), maxb):
+            chunk = idxs[lo:lo + maxb]
+            B = len(chunk)
+            Bp = -(-B // 8) * 8  # pad rows to a multiple of 8
+            Pw = P // 16
+            emax = max(len(records[i][2]) for i in chunk)
+            E = max(8, 1 << (max(emax, 1) - 1).bit_length())
+            w = np.zeros((Bp, Pw), np.uint32)
+            nk = np.zeros((Bp,), np.int32)
+            ex = np.full((Bp, E), EXC_PAD, np.int32)
+            for row, i in enumerate(chunk):
+                words, n, exc = records[i]
+                w[row, :len(words)] = words
+                nk[row] = n - p.K
+                ex[row, :len(exc)] = exc
+            dev = _sketch_packed_batch_impl(
+                jnp.asarray(w), jnp.asarray(nk), jnp.asarray(ex),
+                lF=p.lF, K=p.K, W=p.W, H=p.H)
+            out.append((chunk, dev))
+    return out
+
+
+def dispatch_sketch_batch(records, p: SketchParams,
+                          max_elems: int = 1 << 27):
+    """Asynchronously dispatch a window of records as stacked batches.
+
+    ``records`` is a list of (eff_fwd, eff_rc) numpy pairs. Records are
+    grouped by padded length (one compiled shape per bucket), chunked so a
+    batch stays under ``max_elems`` code elements, stacked into ONE (B, P)
+    host buffer per side, shipped with ONE transfer each, and sketched by the
+    vmapped batch kernel. Returns a list of (record_indices, device_(B,F))
+    pairs; rows beyond len(record_indices) are padding. Records with no
+    k-mers are skipped (absent from every index list).
+    """
+    groups: dict[int, list[int]] = {}
+    for i, (ef, _) in enumerate(records):
+        if len(ef) - p.K > 0:
+            groups.setdefault(padded_size(len(ef)), []).append(i)
+    out = []
+    for P, idxs in sorted(groups.items()):
+        maxb = max(1, max_elems // P)
+        for lo in range(0, len(idxs), maxb):
+            chunk = idxs[lo:lo + maxb]
+            B = len(chunk)
+            Bp = 1 << (B - 1).bit_length()  # pad batch to pow2: few shapes
+            f = np.zeros((Bp, P), np.uint8)
+            r = np.zeros((Bp, P), np.uint8)
+            nk = np.zeros((Bp,), np.int32)
+            for row, i in enumerate(chunk):
+                ef, er = records[i]
+                f[row, :len(ef)] = ef
+                r[row, :len(er)] = er
+                nk[row] = len(ef) - p.K
+            dev = _sketch_batch_impl(
+                jnp.asarray(f), jnp.asarray(r), jnp.asarray(nk),
+                lF=p.lF, K=p.K, W=p.W, H=p.H)
+            out.append((chunk, dev))
+    return out
+
+
+def dispatch_sketch(eff_fwd: np.ndarray, eff_rc: np.ndarray,
+                    p: SketchParams):
+    """Asynchronously dispatch one record's sketch; returns a device array.
+
+    No host synchronization happens here: the transfer and the kernel are
+    enqueued and the caller collects results later (np.asarray). This is the
+    building block of the pipelined ingest path — the TPU transport (axon
+    tunnel especially) has high per-sync latency but good bandwidth, so one
+    sync at the end of a batch beats one sync per record by ~10x.
+
+    Returns None for records with no k-mers (length <= K).
     """
     n = len(eff_fwd)
     n_kmers = n - p.K
     if n_kmers <= 0:
-        return np.full(p.F, np.iinfo(np.int32).max, np.int32)
+        return None
     P = padded_size(n)
     f = np.zeros(P, np.uint8)
     r = np.zeros(P, np.uint8)
     f[:n] = eff_fwd
     r[:n] = eff_rc
-    out = _sketch_codes_impl(
+    return _sketch_codes_impl(
         jnp.asarray(f), jnp.asarray(r), jnp.int32(n_kmers),
         lF=p.lF, K=p.K, W=p.W, H=p.H)
+
+
+def sketch_codes(eff_fwd: np.ndarray, eff_rc: np.ndarray, p: SketchParams):
+    """Sketch one record's effective code arrays on device, synchronously.
+
+    Returns an (F,) int32 numpy array of per-slot min fingerprints with
+    INT32_MAX for empty slots (pre-densification).
+    """
+    out = dispatch_sketch(eff_fwd, eff_rc, p)
+    if out is None:
+        return np.full(p.F, np.iinfo(np.int32).max, np.int32)
     return np.asarray(out)
 
 

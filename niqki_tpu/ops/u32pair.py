@@ -20,7 +20,12 @@ from jax import lax
 
 REV_C = 0xD6E8FEB86659FD93
 UNREV_C = 0xCFEE444D8B59A89B
-_MASK16 = jnp.uint32(0xFFFF)
+
+# NOTE: all masks below are Python ints, never jnp scalars. A module-level
+# jnp.uint32 constant becomes a captured device array and (measured on TPU
+# via axon) sends XLA down a catastrophically slow compile/codegen path:
+# umulhi32 went from 0.07ms to 29ms per 5M elements. Weak-typed Python ints
+# fold into the kernel as immediates.
 
 
 def _u32(x) -> jnp.ndarray:
@@ -30,11 +35,11 @@ def _u32(x) -> jnp.ndarray:
 def umulhi32(a, b):
     """High 32 bits of a 32x32 -> 64 unsigned multiply, via 16-bit limbs."""
     a, b = _u32(a), _u32(b)
-    ah, al = a >> 16, a & _MASK16
-    bh, bl = b >> 16, b & _MASK16
+    ah, al = a >> 16, a & 0xFFFF
+    bh, bl = b >> 16, b & 0xFFFF
     t0 = al * bl
     t1 = ah * bl + (t0 >> 16)          # < 2^32, no overflow
-    t2 = al * bh + (t1 & _MASK16)      # < 2^32, no overflow
+    t2 = al * bh + (t1 & 0xFFFF)       # < 2^32, no overflow
     return ah * bh + (t1 >> 16) + (t2 >> 16)
 
 
@@ -69,10 +74,21 @@ def unrevhash64_u32(hi, lo):
 
 
 def clz32(x):
-    """Count leading zeros of uint32 (clz32(0) == 32)."""
+    """Count leading zeros of uint32 (clz32(0) == 32), exactly.
+
+    lax.clz measures ~280x slower than elementwise ops on TPU (v5e via axon),
+    so this extracts floor(log2 x) from the f32 exponent instead. u32 -> f32
+    conversion rounds to nearest, which can bump the exponent past the true
+    floor (e.g. 2^24 - 1 -> 2^24); the (x >> e) == 0 test detects exactly
+    that case and steps back. Verified exact over random and boundary inputs.
+    """
     x = _u32(x)
-    # lax.clz is defined on signed/unsigned ints; TPU lowers it natively.
-    return lax.clz(x).astype(jnp.int32)
+    f = x.astype(jnp.float32)
+    e = (lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
+    e = jnp.clip(e, 0, 31)
+    over = (x >> e.astype(jnp.uint32)) == 0
+    fl = jnp.where(over, e - 1, e)
+    return jnp.where(x == 0, 32, 31 - fl).astype(jnp.int32)
 
 
 def clz64_u32(hi, lo):
