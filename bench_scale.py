@@ -1,0 +1,108 @@
+"""Scale benchmarks: the BASELINE.md north-star metrics on real TPU.
+
+Measures, on one chip:
+  * sketch throughput (Mbp/s) for whole-genome batch ingest (ecoli set,
+    looped), end to end from gzip bytes on disk;
+  * query hit-counting throughput against a synthetic 100k-genome index
+    (G x F int16 fingerprint matrix resident in HBM);
+  * end-to-end query rate (sketch + count + threshold/sort) for genome-sized
+    queries against that index.
+
+Each metric prints one JSON line. The reference CPU anchors (BASELINE.md):
+sketching ~25 Mbp/s/thread (~1.6 Gbp/s extrapolated to 64 cores), hits-query
+dominated by re-sketching (~5.5 genomes/s/thread, ~350/s on 64 cores).
+
+Usage: python bench_scale.py [--genomes 100000]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genomes", type=int, default=100_000)
+    ap.add_argument("--queries", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from niqki_tpu import SketchIndex, SketchParams
+    log(f"devices: {jax.devices()}")
+    p = SketchParams()  # defaults K=31 S=15 W=12 H=4
+    paths = [f"/root/reference/resources/ecoli0{i}p.fa.gz"
+             for i in range(1, 10)]
+
+    # --- sketch throughput -------------------------------------------------
+    idx = SketchIndex(p)
+    idx.sketch_files(paths)  # warm compile + page cache
+    reps = 4
+    t0 = time.time()
+    for _ in range(reps):
+        sks = idx.sketch_files(paths)
+    dt = time.time() - t0
+    total_bp = 9 * 4_639_675 * reps
+    mbps = total_bp / dt / 1e6
+    print(json.dumps({"metric": "sketch_throughput", "value": round(mbps, 1),
+                      "unit": "Mbp/s",
+                      "vs_baseline_1thread": round(mbps / 25.0, 1),
+                      "vs_baseline_64core": round(mbps / 1600.0, 2)}))
+
+    # --- synthetic 100k-genome index --------------------------------------
+    G, F = args.genomes, p.F
+    log(f"building synthetic index G={G} F={F} (int16, "
+        f"{G*F*2/1e9:.1f} GB HBM)...")
+    key = jax.random.PRNGKey(0)
+    gmat = jax.random.randint(key, (G, F), 0, p.fingerprint_range,
+                              dtype=jnp.int32).astype(jnp.int16)
+    gmat.block_until_ready()
+
+    qs = np.stack(sks)  # 9 real sketches
+    reps_q = max(1, args.queries // len(qs))
+    qbatch = jnp.asarray(np.tile(qs, (reps_q, 1)).astype(np.int16))
+    Q = qbatch.shape[0]
+
+    @jax.jit
+    def count(q, g):
+        def one(qrow):
+            return jnp.sum(qrow[None, :] == g, axis=-1, dtype=jnp.int32)
+        return jax.lax.map(one, q)
+
+    c = count(qbatch, gmat)
+    c.block_until_ready()
+    t0 = time.time()
+    c = count(qbatch, gmat)
+    c.block_until_ready()
+    dt = time.time() - t0
+    qps = Q / dt
+    print(json.dumps({"metric": f"count_queries_per_s_G{G}",
+                      "value": round(qps, 1), "unit": "queries/s",
+                      "vs_baseline_64core": round(qps / 350.0, 1)}))
+
+    # --- end-to-end query rate (sketch + count + hits) --------------------
+    idx2 = SketchIndex(p)
+    idx2._mat = np.asarray(gmat).astype(np.int32)
+    idx2.names = [f"g{i}" for i in range(G)]
+    t0 = time.time()
+    sks2 = idx2.sketch_files(paths)
+    counts = np.asarray(count(jnp.asarray(
+        np.stack(sks2).astype(np.int16)), gmat))
+    hits = [idx2.hits_from_counts(c) for c in counts]
+    dt = time.time() - t0
+    print(json.dumps({"metric": f"e2e_query_per_s_G{G}",
+                      "value": round(9 / dt, 2), "unit": "queries/s",
+                      "vs_baseline_64core": round(9 / dt / 350.0, 2),
+                      "hits_total": int(sum(len(h) for h in hits))}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -70,15 +70,33 @@ def query_fof_whole(index: SketchIndex, fof_path: str, out: GzTextWriter,
 
 
 def query_file_lines(index: SketchIndex, path: str, out: GzTextWriter,
-                     pretty: bool = True) -> None:
-    """-l: each record of the file is a separate query named by its header."""
-    for header, seq in read_records(path, index.params.K):
-        sk = index.sketch_records([seq])
-        hits = index.hits(sk)
-        if pretty:
-            write_pretty_hits(out, header, hits, index.names, index.params.F)
-        else:
-            write_binary_hits(out, header, hits)
+                     pretty: bool = True, batch: int = 1 << 13) -> None:
+    """-l: each record of the file is a separate query named by its header.
+
+    Records are sketched in device batches and counted in one blocked device
+    call per batch; rows stream in file order.
+    """
+    if index.backend == "numpy":
+        for header, seq in read_records(path, index.params.K):
+            hits = index.hits(index.sketch_records([seq]))
+            if pretty:
+                write_pretty_hits(out, header, hits, index.names,
+                                  index.params.F)
+            else:
+                write_binary_hits(out, header, hits)
+        return
+    recs = index._load_packed_with_headers(path)
+    for lo in range(0, len(recs), batch):
+        part = recs[lo:lo + batch]
+        sks = index.sketch_packed_records([r[1:] for r in part])
+        counts = index.counts(np.stack(sks)) if sks else []
+        for r, c in zip(part, counts):
+            hits = index.hits_from_counts(c)
+            if pretty:
+                write_pretty_hits(out, r[0], hits, index.names,
+                                  index.params.F)
+            else:
+                write_binary_hits(out, r[0], hits)
 
 
 def query_matrix(index: SketchIndex, out: GzTextWriter,

@@ -165,13 +165,47 @@ class SketchIndex:
     def insert_file_whole(self, path: str, name: str | None = None) -> int:
         return self.insert_sketch(self.sketch_file(path), name or path)
 
-    def insert_file_lines(self, path: str) -> list[int]:
+    def _load_packed_with_headers(self, path: str):
+        """(header, words, n_bases, exc_idx) per record of one file."""
+        p = self.params
+        if native.available():
+            return list(native.read_packed_records(path, p.K))
+        from .ops.sketch import pack_codes
+        return [(h, *pack_codes(*oracle.encode_record(s, p.K), p.K))
+                for h, s in read_records(path, p.K)]
+
+    def sketch_packed_records(self, packed_records) -> list[np.ndarray]:
+        """One finalized sketch (-1 empty) per packed (words, n, exc) record,
+        batched: one transfer + one kernel per shape bucket."""
+        p = self.params
+        if not packed_records:
+            return []
+        from .ops.sketch import dispatch_sketch_packed_batch
+        out: list = [None] * len(packed_records)
+        for chunk, dev in dispatch_sketch_packed_batch(packed_records, p):
+            host = np.asarray(dev)
+            for row, i in enumerate(chunk):
+                out[i] = self._finalize_tables([host[row]])
+        for i, v in enumerate(out):  # records with no k-mers
+            if v is None:
+                out[i] = np.full(p.F, -1, np.int32)
+        return out
+
+    def insert_file_lines(self, path: str,
+                          chunk_records: int = 1 << 14) -> list[int]:
         """Each record of the file becomes a separate entry named by its
-        header line (including the '>'/'@' prefix)."""
+        header line (including the '>'/'@' prefix). Device work is batched
+        per ``chunk_records`` records."""
+        if self.backend == "numpy":
+            return [self.insert_sketch(self.sketch_records([s]), h)
+                    for h, s in read_records(path, self.params.K)]
+        recs = self._load_packed_with_headers(path)
         gids = []
-        for header, seq in read_records(path, self.params.K):
-            gids.append(self.insert_sketch(
-                self.sketch_records([seq]), header))
+        for lo in range(0, len(recs), chunk_records):
+            part = recs[lo:lo + chunk_records]
+            sks = self.sketch_packed_records([r[1:] for r in part])
+            gids.extend(self.insert_sketch(sk, r[0])
+                        for r, sk in zip(part, sks))
         return gids
 
     # ------------------------------------------------------------------

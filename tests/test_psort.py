@@ -1,0 +1,34 @@
+"""Pallas bitonic sort vs np.sort (interpret mode on CPU).
+
+Sizes are kept small: interpret mode executes every network stage
+elementwise. chunk_log=10 at N=2^12..2^13 exercises the cross-chunk merge
+stages and the in-chunk tails; duplicates and already-sorted inputs cover
+the network's data-oblivious edge cases.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from niqki_tpu.ops.psort import sort_i32_pow2
+
+
+@pytest.mark.parametrize("m,chunk_log", [(10, 10), (12, 10), (13, 11)])
+def test_sort_random(m, chunk_log):
+    rng = np.random.default_rng(m)
+    x = rng.integers(-2**31, 2**31, 1 << m).astype(np.int32)
+    got = np.asarray(sort_i32_pow2(jnp.asarray(x), interpret=True,
+                                   chunk_log=chunk_log))
+    assert np.array_equal(got, np.sort(x))
+
+
+def test_sort_duplicates_and_sorted():
+    rng = np.random.default_rng(0)
+    n = 1 << 12
+    for x in (rng.integers(0, 7, n).astype(np.int32),
+              np.arange(n, dtype=np.int32),
+              np.arange(n, 0, -1).astype(np.int32),
+              np.full(n, 42, np.int32)):
+        got = np.asarray(sort_i32_pow2(jnp.asarray(x), interpret=True,
+                                       chunk_log=10))
+        assert np.array_equal(got, np.sort(x))
