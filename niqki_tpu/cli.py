@@ -94,6 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Print ASCII art logo, then exit.")
     x.add_argument("--backend", default="jax", choices=["jax", "numpy"],
                    help="Compute backend (default jax).")
+    x.add_argument("--profile", metavar="<dir>",
+                   help="Write a jax.profiler trace (TensorBoard/XProf) of "
+                        "the run to this directory.")
     x.add_argument("-h", "--help", action="help",
                    help="Print usage and exit.")
     return ap
@@ -108,6 +111,12 @@ def main(argv=None) -> int:
     if args.logo and len([a for a in (argv or sys.argv[1:]) if a]) == 1:
         print(LOGO)
         return 0
+    from .debug import profile
+    with profile(args.profile):
+        return _run(args)
+
+
+def _run(args) -> int:
 
     params = SketchParams(lF=args.sketch, K=args.kmer, W=args.word,
                           H=args.HHL, min_fract=args.minjac)

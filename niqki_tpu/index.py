@@ -21,6 +21,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from . import native, oracle
+from .debug import dbg
 from .dumpfmt import load_dump, save_dump
 from .io.fasta import read_records
 from .params import SketchParams
@@ -146,6 +147,8 @@ class SketchIndex:
                 sub = submit(nxt) if nxt < len(paths) else None
                 records = [rec for recs in encs for rec in recs]
                 batches = dispatch_sketch_packed_batch(records, p)
+                dbg(f"window @{w0}: {len(encs)} files, {len(records)} "
+                    f"records, {len(batches)} device batches")
                 if pending is not None:
                     collect(pending)
                 pending = (w0, [len(recs) for recs in encs], batches)

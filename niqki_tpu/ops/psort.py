@@ -31,53 +31,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 LOG_LANES = 7
-CHUNK_LOG = 18           # 2^18 elements = 1 MiB i32 chunk resident in VMEM
+CHUNK_LOG = 17           # 2^17 elements = 512 KiB i32 chunk resident in VMEM
 
 
-def _lane_stage(x, k: int, j: int, base_rows: int):
-    """Compare-exchange at stride 2^j < 128 within rows; x: (R, 128).
+def _stage(x, k: int, j: int, base_rows: int, row_iota, lane_iota):
+    """One compare-exchange stage at stride 2^j; x: (R, 128).
 
-    base_rows: global row offset of x[0] (for the direction bit when the
-    caller processes a sub-block; direction depends on the global index).
+    Both lane-stride (j < 7) and row-stride (j >= 7) stages are expressed as
+    two pltpu.rolls + elementwise select — no reshapes, no concatenates, so
+    the fully unrolled network stays cheap for Mosaic to compile.
+    base_rows: global row offset of x[0] (direction bits use global indices).
     """
-    d = 1 << j
-    fwd = pltpu.roll(x, LANES - d, axis=1)  # value from lane l+d (mod 128)
-    bwd = pltpu.roll(x, d, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    low = (lane & d) == 0
+    if j < LOG_LANES:
+        d = 1 << j
+        fwd = pltpu.roll(x, LANES - d, axis=1)  # value from lane l+d
+        bwd = pltpu.roll(x, d, axis=1)
+        low = (lane_iota & d) == 0
+    else:
+        dr = 1 << (j - LOG_LANES)
+        R = x.shape[0]
+        fwd = pltpu.roll(x, R - dr, axis=0)     # value from row r+dr
+        bwd = pltpu.roll(x, dr, axis=0)
+        low = (row_iota & dr) == 0
     partner = jnp.where(low, fwd, bwd)
     if (1 << k) >= LANES:
-        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + base_rows
-        asc = ((row >> (k - LOG_LANES)) & 1) == 0
+        asc = (((row_iota + base_rows) >> (k - LOG_LANES)) & 1) == 0
     else:
-        gidx = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + base_rows) \
-            * LANES + lane
+        gidx = (row_iota + base_rows) * LANES + lane_iota
         asc = ((gidx >> k) & 1) == 0
     keep_min = low == asc
     return jnp.where(keep_min, jnp.minimum(x, partner),
                      jnp.maximum(x, partner))
-
-
-def _row_stage(x, k: int, j: int, base_rows: int):
-    """Compare-exchange at stride 2^j >= 128: row r with row r ^ 2^(j-7)."""
-    dr = 1 << (j - LOG_LANES)
-    R = x.shape[0]
-    v = x.reshape(R // (2 * dr), 2, dr, LANES)
-    lo, hi = v[:, 0], v[:, 1]
-    mn = jnp.minimum(lo, hi)
-    mx = jnp.maximum(lo, hi)
-    blk = jax.lax.broadcasted_iota(jnp.int32, (R // (2 * dr), 1, 1), 0)
-    row0 = blk * (2 * dr) + base_rows
-    asc = ((row0 >> (k - LOG_LANES)) & 1) == 0
-    new_lo = jnp.where(asc, mn, mx)
-    new_hi = jnp.where(asc, mx, mn)
-    return jnp.stack([new_lo, new_hi], axis=1).reshape(R, LANES)
-
-
-def _stage(x, k: int, j: int, base_rows: int):
-    if j < LOG_LANES:
-        return _lane_stage(x, k, j, base_rows)
-    return _row_stage(x, k, j, base_rows)
 
 
 def _local_sort_kernel(chunk_log: int):
@@ -92,9 +76,11 @@ def _local_sort_kernel(chunk_log: int):
     def kern(x_ref, o_ref):
         base = pl.program_id(0) * rows
         x = x_ref[:]
+        ri = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         for k in range(1, chunk_log + 1):
             for j in range(k - 1, -1, -1):
-                x = _stage(x, k, j, base)
+                x = _stage(x, k, j, base, ri, li)
         o_ref[:] = x
 
     return kern
@@ -107,8 +93,10 @@ def _merge_tail_kernel(chunk_log: int, k: int):
     def kern(x_ref, o_ref):
         base = pl.program_id(0) * rows
         x = x_ref[:]
+        ri = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         for j in range(chunk_log - 1, -1, -1):
-            x = _stage(x, k, j, base)
+            x = _stage(x, k, j, base, ri, li)
         o_ref[:] = x
 
     return kern

@@ -1,0 +1,78 @@
+"""CLI driver tests: flag plumbing, dispatch order, parity through main().
+
+The reference CLI quirks being checked are documented in cli.py and
+SURVEY.md §8 (fof path resolution, -G auto-tune print, dump/load flow).
+"""
+
+import gzip
+
+import pytest
+
+from niqki_tpu import cli
+
+FOF = "/root/reference/resources/file_of_file.txt"
+FIXDIR = __file__.rsplit("/", 1)[0] + "/fixtures"
+
+
+def test_logo_only(capsys):
+    assert cli.main(["--logo"]) == 0
+    out = capsys.readouterr().out
+    assert "TPU-native" in out
+
+
+def test_autotune_h_prints_choice(capsys, tmp_path):
+    # SURVEY.md §2 C15: G=5e6, S=10 -> H=4 (verified against the reference).
+    rc = cli.main(["-S", "10", "-G", "5000000",
+                   "-O", str(tmp_path / "o.gz")])
+    assert rc == 0
+    assert "I chosed H=4" in capsys.readouterr().out
+
+
+def test_matrix_via_cli_matches_golden(tmp_path, capsys):
+    out = tmp_path / "m.gz"
+    rc = cli.main(["-M", FOF, "-S", "10", "-O", str(out)])
+    assert rc == 0
+    got = gzip.open(out).read()
+    want = gzip.open(FIXDIR + "/matrix_s10.gz").read()
+    assert got == want
+
+
+def test_index_dump_load_query_roundtrip(tmp_path, monkeypatch, capsys):
+    dump = tmp_path / "idx.bin"
+    rc = cli.main(["-I", FOF, "-S", "10", "-D", str(dump),
+                   "-O", str(tmp_path / "none.gz")])
+    assert rc == 0
+    out = tmp_path / "hits.gz"
+    # -Q resolves fof entries from the CWD (reference parity), so run from
+    # the resources directory like the reference README workflow does.
+    monkeypatch.chdir("/root/reference/resources")
+    rc = cli.main(["-L", str(dump), "-Q", FOF, "-O", str(out)])
+    assert rc == 0
+    got = gzip.open(out).read()
+    want = gzip.open(FIXDIR + "/hits_s10_j0.gz").read()
+    assert got == want
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path, capsys):
+    ckpt = tmp_path / "ckpt"
+    rc = cli.main(["-I", FOF, "-S", "10", "--save-sharded", str(ckpt),
+                   "--shards", "3", "-O", str(tmp_path / "n1.gz")])
+    assert rc == 0
+    out = tmp_path / "m.gz"
+    rc = cli.main(["--load-sharded", str(ckpt), "-M", FOF, "-O", str(out)])
+    assert rc == 0
+    got = gzip.open(out).read()
+    want = gzip.open(FIXDIR + "/matrix_s10.gz").read()
+    assert got == want
+
+
+def test_query_fof_resolves_from_cwd(tmp_path, monkeypatch, capsys):
+    # -Q fofs resolve entries from the CWD (not the fof's directory).
+    fof = tmp_path / "q.txt"
+    fof.write_text("ecoli01p.fa.gz\n")
+    monkeypatch.chdir("/root/reference/resources")
+    out = tmp_path / "h.gz"
+    rc = cli.main(["-I", FOF, "-S", "10", "-Q", str(fof), "-O", str(out)])
+    assert rc == 0
+    lines = gzip.open(out).read().decode().splitlines()
+    assert len(lines) == 1 and lines[0].startswith("ecoli01p.fa.gz ")

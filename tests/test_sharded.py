@@ -101,3 +101,30 @@ def test_ingest_step_end_to_end(mesh):
     # counts of the last batch against the updated index
     want = (sketches[2:, None, :] == idx_host[None, :, :]).sum(-1)
     np.testing.assert_array_equal(np.asarray(counts), want)
+
+
+def test_sharded_index_matches_dense():
+    """ShardedIndex counts over the 8-device mesh == single-device counts,
+    including non-divisible G and Q paddings."""
+    import numpy as np
+    from niqki_tpu import SketchIndex, SketchParams
+    from niqki_tpu.parallel.serving import ShardedIndex
+
+    p = SketchParams(lF=6, K=21)
+    rng = np.random.default_rng(3)
+    idx = SketchIndex(p, backend="numpy")
+    for g in range(11):  # not a multiple of tp
+        idx.insert_sketch(
+            rng.integers(0, p.fingerprint_range, p.F).astype(np.int32),
+            f"g{g}")
+    q = rng.integers(0, p.fingerprint_range, (5, p.F)).astype(np.int32)
+    q[0] = idx.matrix()[4]  # exact duplicate: must count F
+
+    sh = ShardedIndex(idx)
+    got = sh.counts(q)
+    want = idx.counts(q)
+    assert got.shape == (5, 11)
+    assert np.array_equal(got, want)
+    assert got[0, 4] == p.F
+    top = sh.hits(q[0])[0]
+    assert top == (p.F, 4)
