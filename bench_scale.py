@@ -42,12 +42,16 @@ def main():
              for i in range(1, 10)]
 
     # --- sketch throughput -------------------------------------------------
+    # NOTE: the remote-TPU transport caches identical (kernel, input) pairs,
+    # so every rep must present different device bytes: rotate the file
+    # order per rep (different batch stacking => different buffers).
     idx = SketchIndex(p)
     idx.sketch_files(paths)  # warm compile + page cache
     reps = 4
     t0 = time.time()
-    for _ in range(reps):
-        sks = idx.sketch_files(paths)
+    for r in range(1, reps + 1):
+        order = paths[r % 9:] + paths[:r % 9]
+        sks = idx.sketch_files(order)
     dt = time.time() - t0
     total_bp = 9 * 4_639_675 * reps
     mbps = total_bp / dt / 1e6
@@ -60,15 +64,21 @@ def main():
     G, F = args.genomes, p.F
     log(f"building synthetic index G={G} F={F} (int16, "
         f"{G*F*2/1e9:.1f} GB HBM)...")
-    key = jax.random.PRNGKey(0)
-    gmat = jax.random.randint(key, (G, F), 0, p.fingerprint_range,
-                              dtype=jnp.int32).astype(jnp.int16)
+
+    @jax.jit
+    def synth(key):
+        # uint16 bits masked to W bits: uniform fingerprints with int16
+        # peak memory (an int32 intermediate would double the footprint).
+        bits = jax.random.bits(key, (G, F), dtype=jnp.uint16)
+        return (bits & (p.fingerprint_range - 1)).astype(jnp.int16)
+
+    gmat = synth(jax.random.PRNGKey(0))
     gmat.block_until_ready()
 
     qs = np.stack(sks)  # 9 real sketches
     reps_q = max(1, args.queries // len(qs))
-    qbatch = jnp.asarray(np.tile(qs, (reps_q, 1)).astype(np.int16))
-    Q = qbatch.shape[0]
+    qnp = np.tile(qs, (reps_q, 1)).astype(np.int16)
+    Q = qnp.shape[0]
 
     @jax.jit
     def count(q, g):
@@ -76,8 +86,9 @@ def main():
             return jnp.sum(qrow[None, :] == g, axis=-1, dtype=jnp.int32)
         return jax.lax.map(one, q)
 
-    c = count(qbatch, gmat)
-    c.block_until_ready()
+    # warm with a DIFFERENT batch (transport caches identical inputs)
+    count(jnp.asarray(np.roll(qnp, 1, axis=0) ^ 1), gmat).block_until_ready()
+    qbatch = jnp.asarray(qnp)
     t0 = time.time()
     c = count(qbatch, gmat)
     c.block_until_ready()
@@ -89,10 +100,9 @@ def main():
 
     # --- end-to-end query rate (sketch + count + hits) --------------------
     idx2 = SketchIndex(p)
-    idx2._mat = np.asarray(gmat).astype(np.int32)
     idx2.names = [f"g{i}" for i in range(G)]
     t0 = time.time()
-    sks2 = idx2.sketch_files(paths)
+    sks2 = idx2.sketch_files(list(reversed(paths)))
     counts = np.asarray(count(jnp.asarray(
         np.stack(sks2).astype(np.int16)), gmat))
     hits = [idx2.hits_from_counts(c) for c in counts]

@@ -77,12 +77,18 @@ class SketchIndex:
         oracle + pack_codes otherwise.
         """
         p = self.params
-        if native.available():
-            return [(w, n, e) for _, w, n, e
-                    in native.read_packed_records(path, p.K)]
-        from .ops.sketch import pack_codes
-        return [pack_codes(*oracle.encode_record(s, p.K), p.K)
-                for _, s in read_records(path, p.K)]
+        try:
+            if native.available():
+                return [(w, n, e) for _, w, n, e
+                        in native.read_packed_records(path, p.K)]
+            from .ops.sketch import pack_codes
+            return [pack_codes(*oracle.encode_record(s, p.K), p.K)
+                    for _, s in read_records(path, p.K)]
+        except (OSError, EOFError) as e:
+            # Unreadable / truncated / corrupt files are skipped like the
+            # reference skips missing fof entries — ingest keeps going.
+            dbg(f"skipping unreadable {path}: {e}")
+            return []
 
     def _finalize_tables(self, tables) -> np.ndarray:
         """Sequential per-record min-merge + densify (reference semantics:
@@ -227,10 +233,18 @@ class SketchIndex:
                 self._mat = np.zeros((0, self.params.F), np.int32)
         return self._mat
 
+    @property
+    def _device_dtype(self):
+        # Fingerprints are W-bit (< 2^14 at any supported W<=14) and the
+        # empty sentinel is -1, so int16 halves HBM footprint and compare
+        # bandwidth at identical counting results.
+        return np.int16 if self.params.W <= 14 else np.int32
+
     def _device_matrix(self):
         import jax.numpy as jnp
         if self._device_mat is None:
-            self._device_mat = jnp.asarray(self.matrix())
+            self._device_mat = jnp.asarray(
+                self.matrix().astype(self._device_dtype))
         return self._device_mat
 
     # ------------------------------------------------------------------
@@ -248,7 +262,8 @@ class SketchIndex:
             return out
         import jax.numpy as jnp
         from .ops.count import match_counts_blocked
-        res = match_counts_blocked(jnp.asarray(q), self._device_matrix())
+        res = match_counts_blocked(
+            jnp.asarray(q.astype(self._device_dtype)), self._device_matrix())
         return np.asarray(res)
 
     def hits_from_counts(self, c: np.ndarray) -> list[tuple[int, int]]:

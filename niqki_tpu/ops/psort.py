@@ -70,18 +70,19 @@ def _local_sort_kernel(chunk_log: int):
     Direction bits for k <= chunk_log depend only on local indices (the chunk
     base is a multiple of the chunk size), so every chunk runs the identical
     network and ends ascending-iff-even in the enclosing k=chunk_log+1 block.
+    Grid is (batch, chunks); each batch row sorts independently.
     """
     rows = (1 << chunk_log) // LANES
 
     def kern(x_ref, o_ref):
-        base = pl.program_id(0) * rows
-        x = x_ref[:]
+        base = pl.program_id(1) * rows
+        x = x_ref[0]
         ri = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
         li = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         for k in range(1, chunk_log + 1):
             for j in range(k - 1, -1, -1):
                 x = _stage(x, k, j, base, ri, li)
-        o_ref[:] = x
+        o_ref[0] = x
 
     return kern
 
@@ -91,58 +92,58 @@ def _merge_tail_kernel(chunk_log: int, k: int):
     rows = (1 << chunk_log) // LANES
 
     def kern(x_ref, o_ref):
-        base = pl.program_id(0) * rows
-        x = x_ref[:]
+        base = pl.program_id(1) * rows
+        x = x_ref[0]
         ri = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
         li = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         for j in range(chunk_log - 1, -1, -1):
             x = _stage(x, k, j, base, ri, li)
-        o_ref[:] = x
+        o_ref[0] = x
 
     return kern
 
 
 def _cross_kernel(k: int, j: int):
     """Kernel: one cross-chunk stage (stride 2^j >= chunk size); operates on
-    an (1, 2, rows_of_d//grid1, 128) block pair of the (N/2d, 2, d/128, 128)
+    a (1, 1, 2, blk_rows, 128) block pair of the (B, N/2d, 2, d/128, 128)
     view. Direction is constant per outer program."""
 
     def kern(x_ref, o_ref):
-        lo = x_ref[0, 0]
-        hi = x_ref[0, 1]
+        lo = x_ref[0, 0, 0]
+        hi = x_ref[0, 0, 1]
         mn = jnp.minimum(lo, hi)
         mx = jnp.maximum(lo, hi)
-        asc = ((pl.program_id(0) >> (k - j - 1)) & 1) == 0
-        o_ref[0, 0] = jnp.where(asc, mn, mx)
-        o_ref[0, 1] = jnp.where(asc, mx, mn)
+        asc = ((pl.program_id(1) >> (k - j - 1)) & 1) == 0
+        o_ref[0, 0, 0] = jnp.where(asc, mn, mx)
+        o_ref[0, 0, 1] = jnp.where(asc, mx, mn)
 
     return kern
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "chunk_log"))
-def sort_i32_pow2(x: jnp.ndarray, interpret: bool = False,
-                  chunk_log: int | None = None) -> jnp.ndarray:
-    """Ascending sort of a power-of-two-length int32 array (N >= 2^10)."""
-    N = x.shape[0]
+def sort_i32_pow2_batch(x: jnp.ndarray, interpret: bool = False,
+                        chunk_log: int | None = None) -> jnp.ndarray:
+    """Ascending sort of each row of a (B, N) int32 array; N a power of two
+    (>= 2^10). Rows sort independently (batch = leading grid dimension)."""
+    B, N = x.shape
     m = N.bit_length() - 1
     assert N == 1 << m, "length must be a power of two"
     chunk_log = min(m, chunk_log or CHUNK_LOG)
     rows = (1 << chunk_log) // LANES
     n_chunks = N >> chunk_log
-    xr = x.reshape(N // LANES, LANES)
+    xr = x.reshape(B, N // LANES, LANES)
 
     call = functools.partial(
         pl.pallas_call, interpret=interpret,
         out_shape=jax.ShapeDtypeStruct(xr.shape, xr.dtype),
         input_output_aliases={0: 0})
+    chunk_spec = pl.BlockSpec((1, rows, LANES), lambda b, p: (b, p, 0),
+                              memory_space=pltpu.VMEM)
 
     xr = call(
         _local_sort_kernel(chunk_log),
-        grid=(n_chunks,),
-        in_specs=[pl.BlockSpec((rows, LANES), lambda p: (p, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((rows, LANES), lambda p: (p, 0),
-                               memory_space=pltpu.VMEM),
+        grid=(B, n_chunks),
+        in_specs=[chunk_spec], out_specs=chunk_spec,
     )(xr)
 
     for k in range(chunk_log + 1, m + 1):
@@ -151,30 +152,32 @@ def sort_i32_pow2(x: jnp.ndarray, interpret: bool = False,
             n_pairs = (N // LANES) // (2 * d_rows)
             blk_rows = min(d_rows, rows)      # block size along the pair dim
             sub = d_rows // blk_rows
-            v = xr.reshape(n_pairs, 2, d_rows, LANES)
+            v = xr.reshape(B, n_pairs, 2, d_rows, LANES)
+            pair_spec = pl.BlockSpec(
+                (1, 1, 2, blk_rows, LANES),
+                lambda b, p, q: (b, p, 0, q, 0), memory_space=pltpu.VMEM)
             v = pl.pallas_call(
                 _cross_kernel(k, j),
-                grid=(n_pairs, sub),
-                in_specs=[pl.BlockSpec(
-                    (1, 2, blk_rows, LANES),
-                    lambda p, q: (p, 0, q, 0), memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec(
-                    (1, 2, blk_rows, LANES),
-                    lambda p, q: (p, 0, q, 0), memory_space=pltpu.VMEM),
+                grid=(B, n_pairs, sub),
+                in_specs=[pair_spec], out_specs=pair_spec,
                 out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
                 input_output_aliases={0: 0},
                 interpret=interpret,
             )(v)
-            xr = v.reshape(N // LANES, LANES)
+            xr = v.reshape(B, N // LANES, LANES)
         xr = call(
             _merge_tail_kernel(chunk_log, k),
-            grid=(n_chunks,),
-            in_specs=[pl.BlockSpec((rows, LANES), lambda p: (p, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((rows, LANES), lambda p: (p, 0),
-                                   memory_space=pltpu.VMEM),
+            grid=(B, n_chunks),
+            in_specs=[chunk_spec], out_specs=chunk_spec,
         )(xr)
-    return xr.reshape(N)
+    return xr.reshape(B, N)
+
+
+def sort_i32_pow2(x: jnp.ndarray, interpret: bool = False,
+                  chunk_log: int | None = None) -> jnp.ndarray:
+    """Ascending sort of a power-of-two-length int32 array (N >= 2^10)."""
+    return sort_i32_pow2_batch(x[None, :], interpret=interpret,
+                               chunk_log=chunk_log)[0]
 
 
 def available() -> bool:

@@ -57,8 +57,9 @@ def _kmer_pairs(codes: jnp.ndarray, K: int, reverse: bool):
     return hi, lo
 
 
-def _sketch_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
-    F = 1 << lF
+def _slot_fp_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
+    """(slot, fp) int32 arrays for every k-mer window; padding positions get
+    fp = INT32_MAX."""
     M = W - H
     maximal_remainder = (1 << H) - 1
     mask_M = jnp.uint32((1 << M) - 1)
@@ -79,25 +80,40 @@ def _sketch_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
     lz = u.clz64_u32(h_hi, h_lo)
     rem = jnp.maximum(0, maximal_remainder - lz)
     fp = ((rem << M) | (h_lo & mask_M).astype(jnp.int32)).astype(jnp.int32)
-
-    # Mask padding, then per-slot min. XLA's scatter and gather both measure
-    # ~12ns/element on TPU (serialized), so the segmented min is reformulated
-    # as sort + vectorized binary search: one composite key (slot | fp) sorts
-    # k-mers into slot runs, whose heads are exactly the per-slot minima.
     idx = jnp.arange(fp.shape[0], dtype=jnp.int32)
-    # <= 30 keeps the INT32_MAX padding key strictly above any real
-    # (slot, fp) key, so padding can never alias a genuine fingerprint.
+    return slot, jnp.where(idx < n_kmers, fp, INT32_MAX)
+
+
+def _keys_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
+    """Composite per-k-mer sort key (slot << W) | fp, INT32_MAX at padding.
+    Requires lF + W <= 30 so the padding key can never alias a real one."""
+    slot, fp = _slot_fp_core(eff_fwd, eff_rc, n_kmers,
+                             lF=lF, K=K, W=W, H=H)
+    return jnp.where(fp == INT32_MAX, INT32_MAX, (slot << W) | fp)
+
+
+def _extract_core(sk, *, lF, W):
+    """(F,) per-slot min fingerprints from an ascending-sorted key array:
+    each slot's run head is its minimum; located by vectorized binary
+    search."""
+    F = 1 << lF
+    targets = jnp.arange(F, dtype=jnp.int32) << W
+    starts = jnp.minimum(jnp.searchsorted(sk, targets), sk.shape[0] - 1)
+    v = sk[starts]
+    hit = (v >> W) == jnp.arange(F, dtype=jnp.int32)
+    return jnp.where(hit & (v != INT32_MAX), v & ((1 << W) - 1),
+                     INT32_MAX).astype(jnp.int32)
+
+
+def _sketch_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
+    # Per-slot min via sort + binary search: XLA's scatter and gather both
+    # measure ~12ns/element on TPU (serialized), so the segmented min is a
+    # sort into slot runs whose heads are exactly the per-slot minima.
     if lF + W <= 30:
-        key = jnp.where(idx < n_kmers, (slot << W) | fp, INT32_MAX)
-        sk = jnp.sort(key)
-        targets = jnp.arange(F, dtype=jnp.int32) << W
-        starts = jnp.minimum(jnp.searchsorted(sk, targets), sk.shape[0] - 1)
-        v = sk[starts]
-        hit = (v >> W) == jnp.arange(F, dtype=jnp.int32)
-        return jnp.where(hit & (v != INT32_MAX), v & ((1 << W) - 1),
-                         INT32_MAX).astype(jnp.int32)
-    fp = jnp.where(idx < n_kmers, fp, INT32_MAX)
-    table = jnp.full((F,), INT32_MAX, jnp.int32)
+        key = _keys_core(eff_fwd, eff_rc, n_kmers, lF=lF, K=K, W=W, H=H)
+        return _extract_core(jnp.sort(key), lF=lF, W=W)
+    slot, fp = _slot_fp_core(eff_fwd, eff_rc, n_kmers, lF=lF, K=K, W=W, H=H)
+    table = jnp.full((1 << lF,), INT32_MAX, jnp.int32)
     return table.at[slot].min(fp, mode="drop")
 
 
@@ -114,16 +130,21 @@ def _sketch_batch_impl(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
     return jax.vmap(core)(eff_fwd, eff_rc, n_kmers)
 
 
-def _sketch_packed_core(words, n_kmers, exc_idx, *, lF, K, W, H):
-    """Sketch from the 2-bit wire format: unpack forward codes, derive the
-    reverse-complement as 3 - code, zero the exception positions, then run
-    the standard core. words: (Pw,) uint32; exc_idx: (E,) int32 with large
-    positive padding (dropped by the bounded scatter)."""
+def _unpack_codes(words, exc_idx):
+    """2-bit wire format -> (eff_fwd, eff_rc) uint8 arrays: unpack forward
+    codes, derive the reverse complement as 3 - code, zero the exception
+    positions. words: (Pw,) uint32; exc_idx: (E,) int32 with large positive
+    padding (dropped by the bounded scatter)."""
     shifts = (2 * jnp.arange(16, dtype=jnp.int32)).astype(jnp.uint32)
     codes = ((words[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8)
     codes = codes.reshape(-1)
     eff_rc = (3 - codes).astype(jnp.uint8)
     eff_rc = eff_rc.at[exc_idx].set(0, mode="drop")
+    return codes, eff_rc
+
+
+def _sketch_packed_core(words, n_kmers, exc_idx, *, lF, K, W, H):
+    codes, eff_rc = _unpack_codes(words, exc_idx)
     return _sketch_core(codes, eff_rc, n_kmers, lF=lF, K=K, W=W, H=H)
 
 
@@ -131,6 +152,38 @@ def _sketch_packed_core(words, n_kmers, exc_idx, *, lF, K, W, H):
 def _sketch_packed_batch_impl(words, n_kmers, exc_idx, *, lF, K, W, H):
     core = functools.partial(_sketch_packed_core, lF=lF, K=K, W=W, H=H)
     return jax.vmap(core)(words, n_kmers, exc_idx)
+
+
+@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H"))
+def _sketch_packed_batch_psort_impl(words, n_kmers, exc_idx, *,
+                                    lF, K, W, H):
+    """Packed batch sketch with the Pallas bitonic sorter as the per-slot-min
+    reduction (keys padded per row to the next power of two)."""
+    from .psort import sort_i32_pow2_batch
+
+    def keys_one(w, nk, exc):
+        codes, eff_rc = _unpack_codes(w, exc)
+        return _keys_core(codes, eff_rc, nk, lF=lF, K=K, W=W, H=H)
+
+    keys = jax.vmap(keys_one)(words, n_kmers, exc_idx)     # (B, P-K)
+    n = keys.shape[1]
+    Np = 1 << (n - 1).bit_length()
+    keys = jnp.pad(keys, ((0, 0), (0, Np - n)),
+                   constant_values=INT32_MAX)
+    sk = sort_i32_pow2_batch(keys)
+    return jax.vmap(functools.partial(_extract_core, lF=lF, W=W))(sk)
+
+
+def _use_psort(p: SketchParams) -> bool:
+    """The Pallas sort path runs on real TPU backends for supported widths;
+    NIQKI_TPU_NO_PSORT=1 forces the XLA sort."""
+    import os
+    if os.environ.get("NIQKI_TPU_NO_PSORT"):
+        return False
+    if p.lF + p.W > 30:
+        return False
+    from . import psort
+    return psort.available()
 
 
 EXC_PAD = 1 << 30  # out-of-range scatter index: dropped by mode="drop"
@@ -161,12 +214,14 @@ def dispatch_sketch_packed_batch(records, p: SketchParams,
         if n - p.K > 0:
             groups.setdefault(padded_size(n), []).append(i)
     out = []
+    impl = (_sketch_packed_batch_psort_impl if _use_psort(p)
+            else _sketch_packed_batch_impl)
     for P, idxs in sorted(groups.items()):
         maxb = max(1, (max_elems // 4) // P)  # words are 4x denser
         for lo in range(0, len(idxs), maxb):
             chunk = idxs[lo:lo + maxb]
             B = len(chunk)
-            Bp = -(-B // 8) * 8  # pad rows to a multiple of 8
+            Bp = -(-B // 2) * 2  # pad rows to a multiple of 2
             Pw = P // 16
             emax = max(len(records[i][2]) for i in chunk)
             E = max(8, 1 << (max(emax, 1) - 1).bit_length())
@@ -178,7 +233,7 @@ def dispatch_sketch_packed_batch(records, p: SketchParams,
                 w[row, :len(words)] = words
                 nk[row] = n - p.K
                 ex[row, :len(exc)] = exc
-            dev = _sketch_packed_batch_impl(
+            dev = impl(
                 jnp.asarray(w), jnp.asarray(nk), jnp.asarray(ex),
                 lF=p.lF, K=p.K, W=p.W, H=p.H)
             out.append((chunk, dev))

@@ -32,3 +32,12 @@ def test_sort_duplicates_and_sorted():
         got = np.asarray(sort_i32_pow2(jnp.asarray(x), interpret=True,
                                        chunk_log=10))
         assert np.array_equal(got, np.sort(x))
+
+
+def test_sort_batch():
+    from niqki_tpu.ops.psort import sort_i32_pow2_batch
+    rng = np.random.default_rng(7)
+    x = rng.integers(-2**31, 2**31, (3, 1 << 12)).astype(np.int32)
+    got = np.asarray(sort_i32_pow2_batch(jnp.asarray(x), interpret=True,
+                                         chunk_log=10))
+    assert np.array_equal(got, np.sort(x, axis=1))
