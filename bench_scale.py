@@ -30,7 +30,7 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--genomes", type=int, default=100_000)
-    ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--queries", type=int, default=288)
     args = ap.parse_args()
 
     import jax
@@ -61,37 +61,40 @@ def main():
                       "vs_baseline_64core": round(mbps / 1600.0, 2)}))
 
     # --- synthetic 100k-genome index --------------------------------------
+    from niqki_tpu.ops import pcount
     G, F = args.genomes, p.F
-    log(f"building synthetic index G={G} F={F} (int16, "
-        f"{G*F*2/1e9:.1f} GB HBM)...")
+    Gp = -(-G // pcount.TILE_G) * pcount.TILE_G
+    log(f"building synthetic index G={G} F={F} (int16 pair-packed, "
+        f"{Gp*F*2/1e9:.1f} GB HBM)...")
 
     @jax.jit
     def synth(key):
-        # uint16 bits masked to W bits: uniform fingerprints with int16
-        # peak memory (an int32 intermediate would double the footprint).
-        bits = jax.random.bits(key, (G, F), dtype=jnp.uint16)
-        return (bits & (p.fingerprint_range - 1)).astype(jnp.int16)
+        # Directly in the count kernel's wire format: each int32 lane packs
+        # two W-bit fingerprints (no int16/int32 intermediates, no repack).
+        bits = jax.random.bits(key, (Gp, F // 2), dtype=jnp.uint32)
+        mask = (p.fingerprint_range - 1) | ((p.fingerprint_range - 1) << 16)
+        return (bits & mask).astype(jnp.int32)
 
-    gmat = synth(jax.random.PRNGKey(0))
-    gmat.block_until_ready()
+    gp = synth(jax.random.PRNGKey(0))
+    gp.block_until_ready()
 
     qs = np.stack(sks)  # 9 real sketches
     reps_q = max(1, args.queries // len(qs))
     qnp = np.tile(qs, (reps_q, 1)).astype(np.int16)
     Q = qnp.shape[0]
 
-    @jax.jit
-    def count(q, g):
-        def one(qrow):
-            return jnp.sum(qrow[None, :] == g, axis=-1, dtype=jnp.int32)
-        return jax.lax.map(one, q)
+    def count_hits(q_np, thresh=1638):  # J=0.05 at F=32768
+        # Counts + threshold reduce stay on device; only (Q,) hit totals
+        # cross back (materialized to host so the timing is honest — the
+        # transport's block_until_ready can return before execution).
+        c = pcount.match_counts_packed(q_np, gp, G)
+        import jax.numpy as jnp2
+        return np.asarray((c >= thresh).sum(axis=1, dtype=jnp2.int32))
 
     # warm with a DIFFERENT batch (transport caches identical inputs)
-    count(jnp.asarray(np.roll(qnp, 1, axis=0) ^ 1), gmat).block_until_ready()
-    qbatch = jnp.asarray(qnp)
+    count_hits(np.roll(qnp, 1, axis=0) ^ 1)
     t0 = time.time()
-    c = count(qbatch, gmat)
-    c.block_until_ready()
+    nh = count_hits(qnp)
     dt = time.time() - t0
     qps = Q / dt
     print(json.dumps({"metric": f"count_queries_per_s_G{G}",
@@ -103,8 +106,8 @@ def main():
     idx2.names = [f"g{i}" for i in range(G)]
     t0 = time.time()
     sks2 = idx2.sketch_files(list(reversed(paths)))
-    counts = np.asarray(count(jnp.asarray(
-        np.stack(sks2).astype(np.int16)), gmat))
+    counts = np.asarray(pcount.match_counts_packed(
+        np.stack(sks2).astype(np.int16), gp, G))
     hits = [idx2.hits_from_counts(c) for c in counts]
     dt = time.time() - t0
     print(json.dumps({"metric": f"e2e_query_per_s_G{G}",

@@ -122,7 +122,7 @@ def query_fof_matrix(index: SketchIndex, fof_path: str, out: GzTextWriter,
     entries = list(_fof_entries(fof_path))
     for lo in range(0, len(entries), batch):
         chunk = entries[lo:lo + batch]
-        sks = np.stack([index.sketch_file(path) for _, path in chunk])
+        sks = np.stack(index.sketch_files([path for _, path in chunk]))
         counts = index.counts(sks)
         for (name, _), row in zip(chunk, counts):
             write_matrix_row(out, name, row.tolist(), index.params.F,

@@ -43,6 +43,7 @@ class SketchIndex:
         self._rows: list[np.ndarray] = []
         self._mat: np.ndarray | None = None  # consolidated (G, F)
         self._device_mat = None              # cached device copy
+        self._device_packed = None           # cached pair-packed device copy
 
     # ------------------------------------------------------------------
     # sketching
@@ -125,6 +126,13 @@ class SketchIndex:
         p = self.params
         out: list = [None] * len(paths)
         io_threads = io_threads or min(8, os.cpu_count() or 1)
+        # Small fofs still want >1 window so host decode overlaps device
+        # work; NIQKI_TPU_WINDOW overrides.
+        env_w = os.environ.get("NIQKI_TPU_WINDOW")
+        if env_w:
+            window = max(1, int(env_w))
+        elif len(paths) <= window:
+            window = max(2, -(-len(paths) // 3))
         pending = None
 
         def collect(pend) -> None:
@@ -169,6 +177,7 @@ class SketchIndex:
         self.names.append(name)
         self._rows.append(np.asarray(sketch, np.int32))
         self._device_mat = None
+        self._device_packed = None
         return gid
 
     def insert_file_whole(self, path: str, name: str | None = None) -> int:
@@ -240,11 +249,18 @@ class SketchIndex:
         # bandwidth at identical counting results.
         return np.int16 if self.params.W <= 14 else np.int32
 
+    def _stored(self) -> np.ndarray:
+        """Count-side view of the matrix: empty slots become -2 so they can
+        never match a query's -1 (the reference never inserts empty
+        fingerprints into its buckets, so -1 query slots always count 0)."""
+        mat = self.matrix()
+        return np.where(mat == -1, -2, mat)
+
     def _device_matrix(self):
         import jax.numpy as jnp
         if self._device_mat is None:
             self._device_mat = jnp.asarray(
-                self.matrix().astype(self._device_dtype))
+                self._stored().astype(self._device_dtype))
         return self._device_mat
 
     # ------------------------------------------------------------------
@@ -255,12 +271,25 @@ class SketchIndex:
         if self.G == 0:
             return np.zeros((len(q), 0), np.int32)
         if self.backend == "numpy":
-            mat = self.matrix()
+            mat = self._stored()
             out = np.empty((len(q), self.G), np.int32)
             for i, row in enumerate(q):
                 out[i] = (mat == row[None, :]).sum(axis=1, dtype=np.int32)
             return out
         import jax.numpy as jnp
+        from .ops import pcount
+        p = self.params
+        if (not os.environ.get("NIQKI_TPU_NO_PCOUNT")) and self.G >= 4096 \
+                and p.W <= 14 and pcount.available(p.F):
+            if self._device_packed is None:
+                mat16 = self._stored().astype(np.int16)
+                Gp = -(-self.G // pcount.TILE_G) * pcount.TILE_G
+                if Gp != self.G:
+                    mat16 = np.vstack([
+                        mat16, np.full((Gp - self.G, p.F), -2, np.int16)])
+                self._device_packed = jnp.asarray(pcount.pack_rows_np(mat16))
+            return np.asarray(pcount.match_counts_packed(
+                q.astype(np.int16), self._device_packed, self.G))
         from .ops.count import match_counts_blocked
         res = match_counts_blocked(
             jnp.asarray(q.astype(self._device_dtype)), self._device_matrix())

@@ -43,6 +43,10 @@ def match_counts_blocked(q_sk: jnp.ndarray, g_sk: jnp.ndarray,
 
 
 def match_counts(q_sk, g_sk) -> jnp.ndarray:
-    """Unblocked variant for small problems (compiles to one fused reduce)."""
+    """Unblocked variant for small problems (compiles to one fused reduce).
+
+    For large HBM-resident indexes use ops.pcount (Pallas tile kernel, one
+    index pass per query block) — SketchIndex.counts routes automatically.
+    """
     return jnp.sum((q_sk[:, None, :] == g_sk[None, :, :]),
                    axis=-1, dtype=jnp.int32)

@@ -49,7 +49,7 @@ class ShardedIndex:
         self.G = index.G
         self._tp = mesh.shape["tp"]
         self._dp = mesh.shape["dp"]
-        mat = index.matrix()
+        mat = index._stored()  # empty slots already mapped to non-matching
         pad_g = -self.G % self._tp
         if pad_g:
             # Padding rows of -2 can never match a fingerprint (valid range

@@ -41,3 +41,19 @@ def test_sort_batch():
     got = np.asarray(sort_i32_pow2_batch(jnp.asarray(x), interpret=True,
                                          chunk_log=10))
     assert np.array_equal(got, np.sort(x, axis=1))
+
+
+def test_pallas_count_matches_dense():
+    from niqki_tpu.ops.pcount import match_counts_pallas
+    from niqki_tpu.ops.count import match_counts
+    rng = np.random.default_rng(11)
+    F, G, Q = 256, 300, 5          # G, Q deliberately unaligned
+    g = rng.integers(0, 4096, (G, F)).astype(np.int16)
+    q = rng.integers(0, 4096, (Q, F)).astype(np.int16)
+    q[2] = g[77]                    # exact duplicate counts F
+    got = np.asarray(match_counts_pallas(jnp.asarray(q), jnp.asarray(g),
+                                         block_q=4, interpret=True))
+    want = np.asarray(match_counts(jnp.asarray(q.astype(np.int32)),
+                                   jnp.asarray(g.astype(np.int32))))
+    assert np.array_equal(got, want)
+    assert got[2, 77] == F
