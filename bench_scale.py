@@ -102,7 +102,9 @@ def main():
                       "vs_baseline_64core": round(qps / 350.0, 1)}))
 
     # --- end-to-end query rate (sketch + count + hits) --------------------
-    idx2 = SketchIndex(p)
+    # J=0.05 reporting threshold: at J=0 every query returns all G genomes
+    # and host-side hit formatting dominates (degenerate workload).
+    idx2 = SketchIndex(SketchParams(min_fract=0.05))
     idx2.names = [f"g{i}" for i in range(G)]
     t0 = time.time()
     sks2 = idx2.sketch_files(list(reversed(paths)))
