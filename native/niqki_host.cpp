@@ -326,14 +326,18 @@ void nq_densify(int32_t* sketch, int64_t F) {
 // Rolling-window CPU sketcher over encoded arrays: min-merges the n-K k-mer
 // fingerprints of one record into table[2^lF] (int32, INT32_MAX = empty).
 // Pure-CPU backend + independent oracle for the device kernels.
+// mask_M / max_rem are passed explicitly (not derived from H) so the -G
+// stale-constant quirk can be reproduced; pass (1<<(W-H))-1 and (1<<H)-1
+// for normal parameters. The exponent part is ADDED to the mantissa like
+// the reference (carries matter when the stale mask overlaps the shift).
 void nq_sketch_codes(const uint8_t* eff_fwd, const uint8_t* eff_rc, int64_t n,
                      int64_t K, int64_t lF, int64_t W, int64_t H,
-                     int32_t* table) {
+                     int64_t mask_M_in, int64_t max_rem_in, int32_t* table) {
   const int64_t nk = n - K;
   if (nk <= 0) return;
   const int M = (int)(W - H);
-  const int32_t max_rem = (int32_t)((1 << H) - 1);
-  const uint64_t mask_M = (1ULL << M) - 1;
+  const int32_t max_rem = (int32_t)max_rem_in;
+  const uint64_t mask_M = (uint64_t)mask_M_in;
   const uint64_t mask2K = (2 * K < 64) ? ((1ULL << (2 * K)) - 1) : ~0ULL;
   const int rc_top = (int)(2 * (K - 1));
 
@@ -352,12 +356,30 @@ void nq_sketch_codes(const uint8_t* eff_fwd, const uint8_t* eff_rc, int64_t n,
     const uint64_t slot = unrevhash64(canon) >> (64 - lF);
     int32_t rem = max_rem - clz64(h);
     if (rem < 0) rem = 0;
-    const int32_t fp = (int32_t)(((uint64_t)rem << M) | (h & mask_M));
+    const int32_t fp = (int32_t)(rem << M) + (int32_t)(h & mask_M);
     if (fp < table[slot]) table[slot] = fp;
   }
 }
 
+// Scans a NIQKI dump's bucket stream (the uint32 words after the 24-byte
+// header): per bucket a size word followed by that many gid words. Fills
+// sizes[n_buckets] and returns the total gid count, or -1 if the stream is
+// truncated. One linear pass; the 2^(S+W)-iteration hop is far too slow in
+// Python (134M buckets at default parameters).
+int64_t nq_scan_dump_sizes(const uint32_t* words, int64_t n_words,
+                           int64_t n_buckets, uint32_t* sizes) {
+  int64_t pos = 0, total = 0;
+  for (int64_t k = 0; k < n_buckets; ++k) {
+    if (pos >= n_words) return -1;
+    const uint32_t s = words[pos];
+    sizes[k] = s;
+    pos += 1 + (int64_t)s;
+    total += s;
+  }
+  return pos <= n_words ? total : -1;
+}
+
 // Version tag so the Python wrapper can detect ABI drift.
-int64_t nq_abi_version() { return 2; }
+int64_t nq_abi_version() { return 3; }
 
 }  // extern "C"

@@ -124,10 +124,9 @@ def _run(args) -> int:
     print("|                            Informations                           |")
     print("+-----------------------------------+-------------------------------+")
     if args.load:
+        # The reference's load constructor takes min_score from the dump and
+        # ignores -J entirely (src/niqki.cpp:296-298, load ctor).
         index = SketchIndex.load(args.load, backend=args.backend)
-        index.params = SketchParams(
-            lF=index.params.lF, K=index.params.K, W=index.params.W,
-            H=index.params.H, min_fract=args.minjac)
     elif args.load_sharded:
         index = SketchIndex.load_sharded(args.load_sharded,
                                          backend=args.backend)
@@ -157,8 +156,10 @@ def _run(args) -> int:
     print(_row("Indexing lasted (s)", f"{t_indexed - t_start:g}"))
 
     if args.matrix:
-        if not args.index and not args.indexlines and not args.load \
-                and not args.load_sharded:
+        # The reference indexes the matrix fof whenever -I/-i are absent —
+        # including on top of a loaded index (src/niqki.cpp:373-384 checks
+        # only LIST/LISTLINES).
+        if not args.index and not args.indexlines:
             t0 = time.time()
             engine.insert_fof_whole(index, args.matrix)
             print(_row("Indexing lasted (s)", f"{time.time() - t0:g}"))

@@ -60,19 +60,22 @@ def load_dump(path: str):
     n_buckets = F * fr
     words = np.frombuffer(data, dtype="<u4", offset=24,
                           count=(len(data) - 24) // 4)
-    # The stream interleaves [size][gid...] with data-dependent strides; hop
-    # bucket to bucket. Size words and gid runs are recovered in one pass.
-    sizes = np.empty(n_buckets, dtype=np.int64)
-    w = words  # local alias; plain-int loop is the portable fallback path
-    pos = 0
-    # Fast path: a fully densified index has exactly G gids per slot, but the
-    # per-bucket split within a slot still requires the sequential hop; do it
-    # with a Python loop over buckets (native extension supersedes this for
-    # very large S+W).
-    for k in range(n_buckets):
-        s = int(w[pos])
-        sizes[k] = s
-        pos += 1 + s
+    # The stream interleaves [size][gid...] with data-dependent strides, so
+    # recovering the per-bucket sizes is inherently one sequential hop over
+    # all 2^(S+W) buckets (134M at defaults): the native scanner does the
+    # pass in C; the Python loop is the fallback when it is not built.
+    w = words
+    from . import native
+    if native.available():
+        sizes = native.scan_dump_sizes(w, n_buckets).astype(np.int64)
+        pos = n_buckets + int(sizes.sum())
+    else:
+        sizes = np.empty(n_buckets, dtype=np.int64)
+        pos = 0
+        for k in range(n_buckets):
+            s = int(w[pos])
+            sizes[k] = s
+            pos += 1 + s
     total = int(sizes.sum())
     starts = np.zeros(n_buckets, dtype=np.int64)
     np.cumsum(sizes[:-1], out=starts[1:])

@@ -20,7 +20,7 @@ import os
 import numpy as np
 
 from .index import SketchIndex
-from .io.fasta import exists, read_fof, read_records
+from .io.fasta import exists, read_fof, read_query_fof, read_records
 from .io.writers import (GzTextWriter, write_binary_hits, write_matrix_header,
                          write_matrix_row, write_pretty_hits)
 
@@ -55,7 +55,7 @@ def query_fof_whole(index: SketchIndex, fof_path: str, out: GzTextWriter,
     Sketching is pipelined and hit counting batched (one device round-trip
     per ``batch`` queries); output rows stream in fof order.
     """
-    lines = [ln for ln in read_fof(fof_path) if exists(ln)]
+    lines = [ln for ln in read_query_fof(fof_path) if exists(ln)]
     for lo in range(0, len(lines), batch):
         chunk = lines[lo:lo + batch]
         sks = index.sketch_files(chunk)
@@ -108,6 +108,11 @@ def query_matrix(index: SketchIndex, out: GzTextWriter,
     for lo in range(0, index.G, batch):
         hi = min(lo + batch, index.G)
         counts = index.counts(mat[lo:hi])
+        # The reference's matrix path counts in uint16 regardless of F
+        # (query_range, src/niqki_index.cpp:572), so counts wrap mod 2^16
+        # when lF >= 16 — including a genome's self-count of F. Reproduce
+        # the wrap before thresholding/printing (no-op for lF < 16).
+        counts = counts & 0xFFFF
         for r in range(hi - lo):
             write_matrix_row(out, index.names[lo + r], counts[r].tolist(),
                              p.F, p.min_score)

@@ -35,6 +35,17 @@ def _densify(sketch: np.ndarray, p: SketchParams) -> None:
         oracle.densify(sketch, p)
 
 
+def hits_from_counts(counts: np.ndarray, min_score: int
+                     ) -> list[tuple[int, int]]:
+    """Thresholded (count, gid) list sorted count desc then gid desc,
+    exactly like the reference's query_sketch ordering (the single source of
+    the hit-ranking rule — the sharded serving path uses it too)."""
+    c = np.asarray(counts)
+    sel = np.nonzero(c >= min_score)[0]
+    order = np.lexsort((-sel, -c[sel].astype(np.int64)))
+    return [(int(c[g]), int(g)) for g in sel[order]]
+
+
 class SketchIndex:
     def __init__(self, params: SketchParams, backend: str = "jax"):
         self.params = params
@@ -250,11 +261,20 @@ class SketchIndex:
         return np.int16 if self.params.W <= 14 else np.int32
 
     def _stored(self) -> np.ndarray:
-        """Count-side view of the matrix: empty slots become -2 so they can
-        never match a query's -1 (the reference never inserts empty
-        fingerprints into its buckets, so -1 query slots always count 0)."""
+        """Count-side view of the matrix: fingerprints outside
+        [0, 2^W) become -2 — the reference's insert_sketch never puts them
+        in buckets (src/niqki_index.cpp:362-364: empty slots, and
+        out-of-range values the -G stale constants can produce)."""
         mat = self.matrix()
-        return np.where(mat == -1, -2, mat)
+        bad = (mat < 0) | (mat >= self.params.fingerprint_range)
+        return np.where(bad, -2, mat)
+
+    def _query_side(self, q: np.ndarray) -> np.ndarray:
+        """Query-side sanitization: out-of-range query fingerprints scan no
+        bucket in the reference (query_sketch range guard), so they map to
+        -3 — matching neither valid fingerprints nor the stored -2."""
+        bad = (q < 0) | (q >= self.params.fingerprint_range)
+        return np.where(bad, -3, q)
 
     def _device_matrix(self):
         import jax.numpy as jnp
@@ -267,7 +287,7 @@ class SketchIndex:
     # querying
     def counts(self, q_sketches: np.ndarray) -> np.ndarray:
         """Hit counts (Q, G) for a batch of query sketches (Q, F)."""
-        q = np.atleast_2d(np.asarray(q_sketches, np.int32))
+        q = self._query_side(np.atleast_2d(np.asarray(q_sketches, np.int32)))
         if self.G == 0:
             return np.zeros((len(q), 0), np.int32)
         if self.backend == "numpy":
@@ -296,13 +316,7 @@ class SketchIndex:
         return np.asarray(res)
 
     def hits_from_counts(self, c: np.ndarray) -> list[tuple[int, int]]:
-        """Thresholded (count, gid) list sorted count desc then gid desc,
-        exactly like the reference's query_sketch ordering."""
-        c = np.asarray(c)
-        ms = self.params.min_score
-        sel = np.nonzero(c >= ms)[0]
-        order = np.lexsort((-sel, -c[sel].astype(np.int64)))
-        return [(int(c[g]), int(g)) for g in sel[order]]
+        return hits_from_counts(c, self.params.min_score)
 
     def hits(self, q_sketch: np.ndarray) -> list[tuple[int, int]]:
         return self.hits_from_counts(self.counts(q_sketch[None, :])[0])

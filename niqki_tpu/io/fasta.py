@@ -39,7 +39,7 @@ def _open_maybe_gzip(path: str):
     return io.BufferedReader(f)
 
 
-def read_records(path: str, K: int, want_headers: bool = False,
+def read_records(path: str, K: int,
                  ftype: str | None = None) -> Iterator[Tuple[str, bytes]]:
     """Yield (header, sequence_bytes) records with length > K.
 
@@ -76,9 +76,11 @@ def read_records(path: str, K: int, want_headers: bool = False,
 
 
 def read_fof(path: str) -> list[str]:
-    """Read a file-of-files: one path per line; lines shorter than 3 chars are
-    ignored (the reference requires size > 2); missing files are skipped by
-    callers via exists()."""
+    """Read an INSERT file-of-files: one path per line; lines shorter than 3
+    chars are ignored (the reference's insert path requires size > 2,
+    src/niqki_index.cpp:481); missing files are skipped by callers via
+    exists(). Query fofs use read_query_fof — the reference's query path has
+    no length filter."""
     out = []
     with open(path) as f:
         for line in f:
@@ -86,6 +88,13 @@ def read_fof(path: str) -> list[str]:
             if len(line) > 2:
                 out.append(line)
     return out
+
+
+def read_query_fof(path: str) -> list[str]:
+    """Read a QUERY file-of-files: every line as written (no length filter,
+    matching query_file_of_file_whole, src/niqki_index.cpp:523-540)."""
+    with open(path) as f:
+        return [line.rstrip("\n") for line in f]
 
 
 def exists(path: str) -> bool:

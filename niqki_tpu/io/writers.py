@@ -25,7 +25,7 @@ def format_double(v: float) -> str:
 class GzTextWriter:
     """Buffered gzip text writer (the engine's answer to zstr::ofstream)."""
 
-    def __init__(self, path: str, binary: bool = False):
+    def __init__(self, path: str):
         self.path = path
         self._f = gzip.open(path, "wb")
 

@@ -74,7 +74,7 @@ def _load():
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
     lib.nq_reader_next_packed.restype = ctypes.c_int
     lib.nq_reader_next_packed.argtypes = [
@@ -83,9 +83,14 @@ def _load():
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64)]
+    lib.nq_scan_dump_sizes.restype = ctypes.c_int64
+    lib.nq_scan_dump_sizes.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")]
     lib.nq_abi_version.restype = ctypes.c_int64
     lib.nq_abi_version.argtypes = []
-    if lib.nq_abi_version() != 2:
+    if lib.nq_abi_version() != 3:
         return None
     _lib = lib
     return _lib
@@ -186,17 +191,41 @@ def densify(sketch: np.ndarray) -> None:
     lib.nq_densify(sketch, sketch.shape[0])
 
 
+def scan_dump_sizes(words: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Per-bucket sizes of a NIQKI dump's [size][gids...] stream.
+
+    Returns a uint32 array of n_buckets sizes; raises on a truncated stream.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    words = np.ascontiguousarray(words, np.uint32)
+    sizes = np.empty(n_buckets, np.uint32)
+    total = lib.nq_scan_dump_sizes(words, len(words), n_buckets, sizes)
+    if total < 0:
+        raise ValueError("truncated dump bucket stream")
+    return sizes
+
+
 def sketch_codes_cpu(eff_fwd: np.ndarray, eff_rc: np.ndarray,
                      lF: int, K: int, W: int, H: int,
+                     mask_M: int | None = None, max_rem: int | None = None,
                      table: np.ndarray | None = None) -> np.ndarray:
     """Rolling-window CPU sketcher; min-merges into ``table`` (INT32_MAX
-    empty sentinel). Bit-exact with the device kernel pre-densification."""
+    empty sentinel). Bit-exact with the device kernel pre-densification.
+    mask_M/max_rem default to the H-derived values; the -G path passes the
+    stale constants."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     if table is None:
         table = np.full(1 << lF, np.iinfo(np.int32).max, np.int32)
+    if mask_M is None:
+        mask_M = (1 << (W - H)) - 1
+    if max_rem is None:
+        max_rem = (1 << H) - 1
     eff_fwd = np.ascontiguousarray(eff_fwd, np.uint8)
     eff_rc = np.ascontiguousarray(eff_rc, np.uint8)
-    lib.nq_sketch_codes(eff_fwd, eff_rc, len(eff_fwd), K, lF, W, H, table)
+    lib.nq_sketch_codes(eff_fwd, eff_rc, len(eff_fwd), K, lF, W, H,
+                        mask_M, max_rem, table)
     return table

@@ -57,12 +57,15 @@ def _kmer_pairs(codes: jnp.ndarray, K: int, reverse: bool):
     return hi, lo
 
 
-def _slot_fp_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
+def _slot_fp_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H,
+                  mask_M=None, max_rem=None):
     """(slot, fp) int32 arrays for every k-mer window; padding positions get
-    fp = INT32_MAX."""
+    fp = INT32_MAX. mask_M/max_rem default to the values derived from H;
+    the -G path passes the reference's stale constants explicitly
+    (SketchParams.with_best_H)."""
     M = W - H
-    maximal_remainder = (1 << H) - 1
-    mask_M = jnp.uint32((1 << M) - 1)
+    maximal_remainder = (1 << H) - 1 if max_rem is None else max_rem
+    mask_M = jnp.uint32((1 << M) - 1 if mask_M is None else mask_M)
 
     fwd_hi, fwd_lo = _kmer_pairs(eff_fwd, K, reverse=False)
     rc_hi, rc_lo = _kmer_pairs(eff_rc, K, reverse=True)
@@ -76,19 +79,24 @@ def _slot_fp_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
     b_hi, _ = u.unrevhash64_u32(canon_hi, canon_lo)         # slot selector
     slot = (b_hi >> (32 - lF)).astype(jnp.int32)
 
-    # HyperMinHash fingerprint: saturated (2^H-1 - clz64) exponent | mantissa
+    # HyperMinHash fingerprint: saturated (2^H-1 - clz64) exponent combined
+    # with the mantissa by ADDITION (the reference does `result +=
+    # remaining_nonzero << M`, src/niqki_index.cpp:285) — identical to OR for
+    # normal params, but the -G stale mask_M can overlap the shifted
+    # exponent, where only addition reproduces the carries.
     lz = u.clz64_u32(h_hi, h_lo)
     rem = jnp.maximum(0, maximal_remainder - lz)
-    fp = ((rem << M) | (h_lo & mask_M).astype(jnp.int32)).astype(jnp.int32)
+    fp = ((rem << M) + (h_lo & mask_M).astype(jnp.int32)).astype(jnp.int32)
     idx = jnp.arange(fp.shape[0], dtype=jnp.int32)
     return slot, jnp.where(idx < n_kmers, fp, INT32_MAX)
 
 
-def _keys_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
+def _keys_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H,
+               mask_M=None, max_rem=None):
     """Composite per-k-mer sort key (slot << W) | fp, INT32_MAX at padding.
     Requires lF + W <= 30 so the padding key can never alias a real one."""
     slot, fp = _slot_fp_core(eff_fwd, eff_rc, n_kmers,
-                             lF=lF, K=K, W=W, H=H)
+                             lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
     return jnp.where(fp == INT32_MAX, INT32_MAX, (slot << W) | fp)
 
 
@@ -105,28 +113,30 @@ def _extract_core(sk, *, lF, W):
                      INT32_MAX).astype(jnp.int32)
 
 
-def _sketch_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
+def _sketch_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H,
+                 mask_M=None, max_rem=None):
     # Per-slot min via sort + binary search: XLA's scatter and gather both
     # measure ~12ns/element on TPU (serialized), so the segmented min is a
     # sort into slot runs whose heads are exactly the per-slot minima.
     if lF + W <= 30:
-        key = _keys_core(eff_fwd, eff_rc, n_kmers, lF=lF, K=K, W=W, H=H)
+        key = _keys_core(eff_fwd, eff_rc, n_kmers, lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
         return _extract_core(jnp.sort(key), lF=lF, W=W)
-    slot, fp = _slot_fp_core(eff_fwd, eff_rc, n_kmers, lF=lF, K=K, W=W, H=H)
+    slot, fp = _slot_fp_core(eff_fwd, eff_rc, n_kmers, lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
     table = jnp.full((1 << lF,), INT32_MAX, jnp.int32)
     return table.at[slot].min(fp, mode="drop")
 
 
 _sketch_codes_impl = jax.jit(_sketch_core,
-                             static_argnames=("lF", "K", "W", "H"))
+                             static_argnames=("lF", "K", "W", "H", "mask_M", "max_rem"))
 
 # Batched variant: (B, P) code arrays, (B,) n_kmers -> (B, F) tables. One
 # transfer + one kernel per window of records: the transport pays a large
 # fixed cost per host->device copy (~46ms via the axon tunnel vs ~0.7ms/MB
 # of bandwidth), so records are always shipped stacked.
-@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H"))
-def _sketch_batch_impl(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H):
-    core = functools.partial(_sketch_core, lF=lF, K=K, W=W, H=H)
+@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H", "mask_M", "max_rem"))
+def _sketch_batch_impl(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H,
+                       mask_M=None, max_rem=None):
+    core = functools.partial(_sketch_core, lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
     return jax.vmap(core)(eff_fwd, eff_rc, n_kmers)
 
 
@@ -143,27 +153,29 @@ def _unpack_codes(words, exc_idx):
     return codes, eff_rc
 
 
-def _sketch_packed_core(words, n_kmers, exc_idx, *, lF, K, W, H):
+def _sketch_packed_core(words, n_kmers, exc_idx, *, lF, K, W, H,
+                        mask_M=None, max_rem=None):
     codes, eff_rc = _unpack_codes(words, exc_idx)
-    return _sketch_core(codes, eff_rc, n_kmers, lF=lF, K=K, W=W, H=H)
+    return _sketch_core(codes, eff_rc, n_kmers, lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
 
 
-@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H"))
-def _sketch_packed_batch_impl(words, n_kmers, exc_idx, *, lF, K, W, H):
-    core = functools.partial(_sketch_packed_core, lF=lF, K=K, W=W, H=H)
+@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H", "mask_M", "max_rem"))
+def _sketch_packed_batch_impl(words, n_kmers, exc_idx, *, lF, K, W, H,
+                              mask_M=None, max_rem=None):
+    core = functools.partial(_sketch_packed_core, lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
     return jax.vmap(core)(words, n_kmers, exc_idx)
 
 
-@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H"))
+@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H", "mask_M", "max_rem"))
 def _sketch_packed_batch_psort_impl(words, n_kmers, exc_idx, *,
-                                    lF, K, W, H):
+                                    lF, K, W, H, mask_M=None, max_rem=None):
     """Packed batch sketch with the Pallas bitonic sorter as the per-slot-min
     reduction (keys padded per row to the next power of two)."""
     from .psort import sort_i32_pow2_batch
 
     def keys_one(w, nk, exc):
         codes, eff_rc = _unpack_codes(w, exc)
-        return _keys_core(codes, eff_rc, nk, lF=lF, K=K, W=W, H=H)
+        return _keys_core(codes, eff_rc, nk, lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
 
     keys = jax.vmap(keys_one)(words, n_kmers, exc_idx)     # (B, P-K)
     n = keys.shape[1]
@@ -235,7 +247,8 @@ def dispatch_sketch_packed_batch(records, p: SketchParams,
                 ex[row, :len(exc)] = exc
             dev = impl(
                 jnp.asarray(w), jnp.asarray(nk), jnp.asarray(ex),
-                lF=p.lF, K=p.K, W=p.W, H=p.H)
+                lF=p.lF, K=p.K, W=p.W, H=p.H,
+                mask_M=p.mask_M, max_rem=p.maximal_remainder)
             out.append((chunk, dev))
     return out
 
@@ -273,7 +286,8 @@ def dispatch_sketch_batch(records, p: SketchParams,
                 nk[row] = len(ef) - p.K
             dev = _sketch_batch_impl(
                 jnp.asarray(f), jnp.asarray(r), jnp.asarray(nk),
-                lF=p.lF, K=p.K, W=p.W, H=p.H)
+                lF=p.lF, K=p.K, W=p.W, H=p.H,
+                mask_M=p.mask_M, max_rem=p.maximal_remainder)
             out.append((chunk, dev))
     return out
 
@@ -301,7 +315,8 @@ def dispatch_sketch(eff_fwd: np.ndarray, eff_rc: np.ndarray,
     r[:n] = eff_rc
     return _sketch_codes_impl(
         jnp.asarray(f), jnp.asarray(r), jnp.int32(n_kmers),
-        lF=p.lF, K=p.K, W=p.W, H=p.H)
+        lF=p.lF, K=p.K, W=p.W, H=p.H,
+                mask_M=p.mask_M, max_rem=p.maximal_remainder)
 
 
 def sketch_codes(eff_fwd: np.ndarray, eff_rc: np.ndarray, p: SketchParams):
@@ -321,5 +336,6 @@ def make_sketcher(p: SketchParams):
     suitable for jit composition (e.g. inside shard_map pipelines)."""
     def fn(eff_fwd, eff_rc, n_kmers):
         return _sketch_codes_impl(
-            eff_fwd, eff_rc, n_kmers, lF=p.lF, K=p.K, W=p.W, H=p.H)
+            eff_fwd, eff_rc, n_kmers, lF=p.lF, K=p.K, W=p.W, H=p.H,
+                mask_M=p.mask_M, max_rem=p.maximal_remainder)
     return fn

@@ -63,6 +63,7 @@ class ShardedIndex:
     def counts(self, q_sketches: np.ndarray) -> np.ndarray:
         """(Q, G) hit counts; Q is padded to a 'dp' multiple internally."""
         q = np.atleast_2d(np.asarray(q_sketches, np.int32))
+        q = np.where((q < 0) | (q >= self.params.fingerprint_range), -3, q)
         Q = len(q)
         pad_q = -Q % self._dp
         if pad_q:
@@ -72,8 +73,6 @@ class ShardedIndex:
         return np.asarray(out)[:Q, :self.G]
 
     def hits(self, q_sketch: np.ndarray):
-        c = self.counts(q_sketch[None, :])[0]
-        ms = int(self.params.min_fract * self.params.F)
-        sel = np.nonzero(c >= ms)[0]
-        order = np.lexsort((-sel, -c[sel].astype(np.int64)))
-        return [(int(c[g]), int(g)) for g in sel[order]]
+        from ..index import hits_from_counts
+        return hits_from_counts(self.counts(q_sketch[None, :])[0],
+                                self.params.min_score)

@@ -80,7 +80,7 @@ def sharded_sketch_batch(p: SketchParams, mesh: Mesh, densify: bool = True):
     return jax.jit(fn)
 
 
-def sharded_count(mesh: Mesh, block_q: int = 128):
+def sharded_count(mesh: Mesh):
     """Returns a jitted fn(q_sk (Q, F), index (G, F)) -> counts (Q, G) with
     queries sharded on 'dp', index rows on 'tp', output sharded on both."""
 

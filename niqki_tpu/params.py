@@ -36,6 +36,12 @@ class SketchParams:
     W: int = DEFAULT_W
     H: int = DEFAULT_H
     min_fract: float = 0.0
+    # -G quirk (reference parity): select_best_H updates only H and the M
+    # shift (/root/reference/src/niqki_index.cpp:126-138); mask_M and
+    # maximal_remainder keep the values derived from the PRE-tuning H. These
+    # fields carry those stale values; None means "derive from H" (normal).
+    stale_mask_M: int | None = None
+    stale_maximal_remainder: int | None = None
 
     def __post_init__(self):
         if not (1 <= self.lF <= 24):
@@ -64,10 +70,14 @@ class SketchParams:
 
     @property
     def mask_M(self) -> int:
+        if self.stale_mask_M is not None:
+            return self.stale_mask_M
         return (1 << self.M) - 1
 
     @property
     def maximal_remainder(self) -> int:
+        if self.stale_maximal_remainder is not None:
+            return self.stale_maximal_remainder
         return (1 << self.H) - 1
 
     @property
@@ -84,7 +94,10 @@ class SketchParams:
         """Return params with H auto-tuned for an expected genome size.
 
         Scans H in [2, 6] maximizing the collision/saturation interval score
-        (closed form with epsilon = 0.02), like the reference's -G option.
+        (closed form with epsilon = 0.02), like the reference's -G option —
+        including its quirk: only H and the M shift update; mask_M and
+        maximal_remainder keep the pre-tuning values (bit-parity requires
+        reproducing the stale constants in every fingerprint).
         """
         x = genome_size / self.F
         best_score = 0.0
@@ -94,7 +107,10 @@ class SketchParams:
             if s > best_score:
                 best_score = s
                 best_h = try_h
-        return dataclasses.replace(self, H=best_h)
+        return dataclasses.replace(
+            self, H=best_h,
+            stale_mask_M=self.mask_M,
+            stale_maximal_remainder=self.maximal_remainder)
 
 
 def score_H(x: float, try_h: int, W: int, epsilon: float = 0.02) -> float:

@@ -53,16 +53,19 @@ def test_index_dump_load_query_roundtrip(tmp_path, monkeypatch, capsys):
     assert got == want
 
 
-def test_sharded_checkpoint_roundtrip(tmp_path, capsys):
+def test_sharded_checkpoint_roundtrip(tmp_path, monkeypatch, capsys):
     ckpt = tmp_path / "ckpt"
     rc = cli.main(["-I", FOF, "-S", "10", "--save-sharded", str(ckpt),
                    "--shards", "3", "-O", str(tmp_path / "n1.gz")])
     assert rc == 0
-    out = tmp_path / "m.gz"
-    rc = cli.main(["--load-sharded", str(ckpt), "-M", FOF, "-O", str(out)])
+    out = tmp_path / "hits.gz"
+    # (-M on a loaded index re-inserts its fof, reference parity — so the
+    # pure-roundtrip check queries instead.)
+    monkeypatch.chdir("/root/reference/resources")
+    rc = cli.main(["--load-sharded", str(ckpt), "-Q", FOF, "-O", str(out)])
     assert rc == 0
     got = gzip.open(out).read()
-    want = gzip.open(FIXDIR + "/matrix_s10.gz").read()
+    want = gzip.open(FIXDIR + "/hits_s10_j0.gz").read()
     assert got == want
 
 
@@ -76,3 +79,42 @@ def test_query_fof_resolves_from_cwd(tmp_path, monkeypatch, capsys):
     assert rc == 0
     lines = gzip.open(out).read().decode().splitlines()
     assert len(lines) == 1 and lines[0].startswith("ecoli01p.fa.gz ")
+
+
+def test_autotune_matrix_golden(tmp_path, monkeypatch, capsys):
+    """-G quirk parity: select_best_H updates only H and the M shift; the
+    stale mask_M/maximal_remainder must flow into every fingerprint
+    (fixture: reference binary, -M -S 10 -G 1e8 -> H=5)."""
+    out = tmp_path / "m.gz"
+    rc = cli.main(["-M", FOF, "-S", "10", "-G", "100000000",
+                   "-O", str(out)])
+    assert rc == 0
+    assert "I chosed H=5" in capsys.readouterr().out
+    assert gzip.open(out).read() == \
+        gzip.open(FIXDIR + "/matrix_s10_g1e8.gz").read()
+
+
+def test_load_then_matrix_reindexes_fof(tmp_path, capsys):
+    """-L + -M parity: the reference inserts the matrix fof into the loaded
+    index (its condition checks only -I/-i), doubling the genome set."""
+    dump = tmp_path / "d.bin"
+    rc = cli.main(["-I", FOF, "-S", "10", "-D", str(dump),
+                   "-O", str(tmp_path / "n.gz")])
+    assert rc == 0
+    out = tmp_path / "m.gz"
+    rc = cli.main(["-L", str(dump), "-M", FOF, "-O", str(out)])
+    assert rc == 0
+    assert gzip.open(out).read() == \
+        gzip.open(FIXDIR + "/matrix_s10_loadM.gz").read()
+
+
+def test_load_ignores_minjac(tmp_path, monkeypatch, capsys):
+    """-L parity: min_score comes from the dump; -J on the command line is
+    ignored (fixture dump was built with -J 0.9)."""
+    monkeypatch.chdir("/root/reference/resources")
+    out = tmp_path / "h.gz"
+    rc = cli.main(["-L", FIXDIR + "/dump_s10_j09.bin", "-Q", FOF,
+                   "-J", "0", "-O", str(out)])
+    assert rc == 0
+    assert gzip.open(out).read() == \
+        gzip.open(FIXDIR + "/hits_s10_loadJ09.gz").read()
