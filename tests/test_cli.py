@@ -118,3 +118,16 @@ def test_load_ignores_minjac(tmp_path, monkeypatch, capsys):
     assert rc == 0
     assert gzip.open(out).read() == \
         gzip.open(FIXDIR + "/hits_s10_loadJ09.gz").read()
+
+
+def test_matrix_s16_uint16_wrap(tmp_path, capsys):
+    """lF >= 16 parity: the reference's matrix counters are uint16, so a
+    genome's self-count of F=65536 wraps to 0 (fixture from the reference
+    binary at -S 16 -K 21 on the tiny genomes)."""
+    out = tmp_path / "m.gz"
+    rc = cli.main(["-M", FIXDIR + "/fof_tiny.txt", "-S", "16", "-K", "21",
+                   "-O", str(out)])
+    assert rc == 0
+    got = gzip.open(out).read()
+    assert b"\t0\t" in got or got.split(b"\n")[1].split(b"\t")[1] == b"0"
+    assert got == gzip.open(FIXDIR + "/matrix_s16_tiny.gz").read()
