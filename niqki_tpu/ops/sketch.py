@@ -91,25 +91,37 @@ def _slot_fp_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H,
     return slot, jnp.where(idx < n_kmers, fp, INT32_MAX)
 
 
+def _fp_bits(W, H, mask_M, max_rem):
+    """Bits needed for any fingerprint value: W normally, wider when the -G
+    stale constants push (max_rem << M) + mask_M past 2^W (such values exist
+    in sketches — the reference only drops them at bucket insert/query)."""
+    M = W - H
+    mr = (1 << H) - 1 if max_rem is None else max_rem
+    mm = (1 << M) - 1 if mask_M is None else mask_M
+    return max(W, ((mr << M) + mm).bit_length())
+
+
 def _keys_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H,
                mask_M=None, max_rem=None):
-    """Composite per-k-mer sort key (slot << W) | fp, INT32_MAX at padding.
-    Requires lF + W <= 30 so the padding key can never alias a real one."""
+    """Composite per-k-mer sort key (slot << fp_bits) | fp, INT32_MAX at
+    padding. Requires lF + fp_bits <= 30 so the padding key can never alias
+    a real one (checked by the caller)."""
+    Wb = _fp_bits(W, H, mask_M, max_rem)
     slot, fp = _slot_fp_core(eff_fwd, eff_rc, n_kmers,
                              lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
-    return jnp.where(fp == INT32_MAX, INT32_MAX, (slot << W) | fp)
+    return jnp.where(fp == INT32_MAX, INT32_MAX, (slot << Wb) | fp)
 
 
-def _extract_core(sk, *, lF, W):
+def _extract_core(sk, *, lF, Wb):
     """(F,) per-slot min fingerprints from an ascending-sorted key array:
     each slot's run head is its minimum; located by vectorized binary
-    search."""
+    search. Wb = the key's fingerprint field width (_fp_bits)."""
     F = 1 << lF
-    targets = jnp.arange(F, dtype=jnp.int32) << W
+    targets = jnp.arange(F, dtype=jnp.int32) << Wb
     starts = jnp.minimum(jnp.searchsorted(sk, targets), sk.shape[0] - 1)
     v = sk[starts]
-    hit = (v >> W) == jnp.arange(F, dtype=jnp.int32)
-    return jnp.where(hit & (v != INT32_MAX), v & ((1 << W) - 1),
+    hit = (v >> Wb) == jnp.arange(F, dtype=jnp.int32)
+    return jnp.where(hit & (v != INT32_MAX), v & ((1 << Wb) - 1),
                      INT32_MAX).astype(jnp.int32)
 
 
@@ -118,9 +130,10 @@ def _sketch_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H,
     # Per-slot min via sort + binary search: XLA's scatter and gather both
     # measure ~12ns/element on TPU (serialized), so the segmented min is a
     # sort into slot runs whose heads are exactly the per-slot minima.
-    if lF + W <= 30:
+    Wb = _fp_bits(W, H, mask_M, max_rem)
+    if lF + Wb <= 30:
         key = _keys_core(eff_fwd, eff_rc, n_kmers, lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
-        return _extract_core(jnp.sort(key), lF=lF, W=W)
+        return _extract_core(jnp.sort(key), lF=lF, Wb=Wb)
     slot, fp = _slot_fp_core(eff_fwd, eff_rc, n_kmers, lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
     table = jnp.full((1 << lF,), INT32_MAX, jnp.int32)
     return table.at[slot].min(fp, mode="drop")
@@ -183,7 +196,8 @@ def _sketch_packed_batch_psort_impl(words, n_kmers, exc_idx, *,
     keys = jnp.pad(keys, ((0, 0), (0, Np - n)),
                    constant_values=INT32_MAX)
     sk = sort_i32_pow2_batch(keys)
-    return jax.vmap(functools.partial(_extract_core, lF=lF, W=W))(sk)
+    Wb = _fp_bits(W, H, mask_M, max_rem)
+    return jax.vmap(functools.partial(_extract_core, lF=lF, Wb=Wb))(sk)
 
 
 def _use_psort(p: SketchParams) -> bool:
@@ -192,7 +206,7 @@ def _use_psort(p: SketchParams) -> bool:
     import os
     if os.environ.get("NIQKI_TPU_NO_PSORT"):
         return False
-    if p.lF + p.W > 30:
+    if p.lF + _fp_bits(p.W, p.H, p.mask_M, p.maximal_remainder) > 30:
         return False
     from . import psort
     return psort.available()
@@ -247,45 +261,6 @@ def dispatch_sketch_packed_batch(records, p: SketchParams,
                 ex[row, :len(exc)] = exc
             dev = impl(
                 jnp.asarray(w), jnp.asarray(nk), jnp.asarray(ex),
-                lF=p.lF, K=p.K, W=p.W, H=p.H,
-                mask_M=p.mask_M, max_rem=p.maximal_remainder)
-            out.append((chunk, dev))
-    return out
-
-
-def dispatch_sketch_batch(records, p: SketchParams,
-                          max_elems: int = 1 << 27):
-    """Asynchronously dispatch a window of records as stacked batches.
-
-    ``records`` is a list of (eff_fwd, eff_rc) numpy pairs. Records are
-    grouped by padded length (one compiled shape per bucket), chunked so a
-    batch stays under ``max_elems`` code elements, stacked into ONE (B, P)
-    host buffer per side, shipped with ONE transfer each, and sketched by the
-    vmapped batch kernel. Returns a list of (record_indices, device_(B,F))
-    pairs; rows beyond len(record_indices) are padding. Records with no
-    k-mers are skipped (absent from every index list).
-    """
-    groups: dict[int, list[int]] = {}
-    for i, (ef, _) in enumerate(records):
-        if len(ef) - p.K > 0:
-            groups.setdefault(padded_size(len(ef)), []).append(i)
-    out = []
-    for P, idxs in sorted(groups.items()):
-        maxb = max(1, max_elems // P)
-        for lo in range(0, len(idxs), maxb):
-            chunk = idxs[lo:lo + maxb]
-            B = len(chunk)
-            Bp = 1 << (B - 1).bit_length()  # pad batch to pow2: few shapes
-            f = np.zeros((Bp, P), np.uint8)
-            r = np.zeros((Bp, P), np.uint8)
-            nk = np.zeros((Bp,), np.int32)
-            for row, i in enumerate(chunk):
-                ef, er = records[i]
-                f[row, :len(ef)] = ef
-                r[row, :len(er)] = er
-                nk[row] = len(ef) - p.K
-            dev = _sketch_batch_impl(
-                jnp.asarray(f), jnp.asarray(r), jnp.asarray(nk),
                 lF=p.lF, K=p.K, W=p.W, H=p.H,
                 mask_M=p.mask_M, max_rem=p.maximal_remainder)
             out.append((chunk, dev))

@@ -1,0 +1,93 @@
+"""Randomized end-to-end parity vs the reference binary itself.
+
+The reference is compiled on demand from /root/reference (skipped when the
+source or toolchain is absent) and both engines run on freshly generated
+random genomes across parameter combinations — outputs must match
+byte-for-byte. This catches parity drift that fixed fixtures cannot.
+
+Single-record files only: the reference's whole-file mode infinite-loops on
+multi-record FASTA (densification empty-count bug, SURVEY.md §8).
+"""
+
+import gzip
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+from niqki_tpu import cli
+
+REF_SRC = pathlib.Path("/root/reference/src")
+
+
+@pytest.fixture(scope="session")
+def ref_binary(tmp_path_factory):
+    if not REF_SRC.exists():
+        pytest.skip("reference source not available")
+    exe = tmp_path_factory.mktemp("refbin") / "niqki"
+    cmd = ["g++", "-O2", "-std=c++11", "-fopenmp", "-include", "array",
+           "-o", str(exe),
+           str(REF_SRC / "niqki.cpp"), str(REF_SRC / "niqki_index.cpp"),
+           str(REF_SRC / "genome.cpp"), "-lz"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+    except Exception:
+        pytest.skip("cannot compile reference binary")
+    return exe
+
+
+def _make_genomes(tmp_path, seed, n_files=3):
+    rng = np.random.default_rng(seed)
+    alphabet = np.frombuffer(b"ACGTACGTACGTNacgt", dtype=np.uint8)
+    paths = []
+    for i in range(n_files):
+        n = int(rng.integers(400, 3000))
+        seq = rng.choice(alphabet, n).tobytes().decode()
+        p = tmp_path / f"g{i}.fa"
+        p.write_text(f">g{i}\n{seq}\n")
+        paths.append(p.name)
+    fof = tmp_path / "fof.txt"
+    fof.write_text("".join(f"{p}\n" for p in paths))
+    return fof
+
+
+def _run_ref(exe, args, cwd):
+    subprocess.run([str(exe)] + args, cwd=cwd, check=True,
+                   capture_output=True, timeout=300,
+                   env={"OMP_NUM_THREADS": "1", "PATH": "/usr/bin:/bin"})
+
+
+CASES = [
+    ["-S", "6", "-K", "21"],
+    ["-S", "7", "-K", "15", "-W", "14", "-H", "6"],
+    ["-S", "5", "-K", "31", "-W", "10", "-H", "2"],
+    ["-S", "8", "-K", "21", "-G", "5000"],        # -G stale-constant path
+]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("case", CASES, ids=["s6", "w14h6", "w10h2", "gtune"])
+def test_matrix_and_hits_parity(ref_binary, tmp_path, seed, case):
+    fof = _make_genomes(tmp_path, seed * 7919 + len(case))
+    _run_ref(ref_binary, ["-M", "fof.txt", "-O", "ref_m.gz"] + case,
+             tmp_path)
+    rc = cli.main(["-M", str(fof), "-O", str(tmp_path / "our_m.gz")] + case)
+    assert rc == 0
+    assert gzip.open(tmp_path / "our_m.gz").read() == \
+        gzip.open(tmp_path / "ref_m.gz").read()
+
+    _run_ref(ref_binary,
+             ["-I", "fof.txt", "-Q", "fof.txt", "-O", "ref_h.gz"] + case,
+             tmp_path)
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # -Q resolves from CWD
+    try:
+        rc = cli.main(["-I", str(fof), "-Q", str(fof),
+                       "-O", str(tmp_path / "our_h.gz")] + case)
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    assert gzip.open(tmp_path / "our_h.gz").read() == \
+        gzip.open(tmp_path / "ref_h.gz").read()
