@@ -87,9 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--shards", type=int, default=1,
                    help="Shard count for --save-sharded.")
     x = ap.add_argument_group("Other")
-    x.add_argument("-d", "--indexdownload", metavar="<file>",
+    x.add_argument("-Iddl", "--indexdownload", metavar="<file>",
                    help="List of NCBI accessions to download and index "
-                        "(experimental).")
+                        "(experimental; the reference's quirky -Iddl short "
+                        "flag).")
     x.add_argument("--logo", action="store_true",
                    help="Print ASCII art logo, then exit.")
     x.add_argument("--backend", default="jax", choices=["jax", "numpy"],

@@ -66,6 +66,58 @@ CASES = [
 ]
 
 
+def test_lines_mode_parity(ref_binary, tmp_path):
+    """-i/-l per-record mode on a multi-record FASTA and a FASTQ."""
+    rng = np.random.default_rng(5)
+    alphabet = np.frombuffer(b"ACGTACGTNacgt", dtype=np.uint8)
+    fa = tmp_path / "reads.fa"
+    fa.write_text("".join(
+        f">r{i}\n{rng.choice(alphabet, int(rng.integers(60, 400))).tobytes().decode()}\n"
+        for i in range(12)))
+    fq = tmp_path / "reads.fq"
+    fq.write_text("".join(
+        f"@q{i}\n{rng.choice(alphabet, 150).tobytes().decode()}\n+\n{'I'*150}\n"
+        for i in range(8)))
+    for inp in ("reads.fa", "reads.fq"):
+        case = ["-S", "5", "-K", "21"]
+        _run_ref(ref_binary,
+                 ["-i", inp, "-l", inp, "-O", f"ref_{inp}.gz"] + case,
+                 tmp_path)
+        rc = cli.main(["-i", str(tmp_path / inp), "-l", str(tmp_path / inp),
+                       "-O", str(tmp_path / f"our_{inp}.gz")] + case)
+        assert rc == 0
+        assert gzip.open(tmp_path / f"our_{inp}.gz").read() == \
+            gzip.open(tmp_path / f"ref_{inp}.gz").read(), inp
+
+
+def test_dump_load_roundtrip_parity(ref_binary, tmp_path):
+    """Our dump must load in byte-identical form to the reference's own, and
+    both engines must answer identically from their loaded indexes."""
+    fof = _make_genomes(tmp_path, 99)
+    case = ["-S", "7", "-K", "21"]
+    _run_ref(ref_binary, ["-I", "fof.txt", "-D", "ref.dump",
+                          "-O", "n1.gz"] + case, tmp_path)
+    rc = cli.main(["-I", str(fof), "-D", str(tmp_path / "our.dump"),
+                   "-O", str(tmp_path / "n2.gz")] + case)
+    assert rc == 0
+    assert gzip.open(tmp_path / "our.dump").read() == \
+        gzip.open(tmp_path / "ref.dump").read()
+    # cross-load: query the REFERENCE's dump with our engine
+    _run_ref(ref_binary, ["-L", "ref.dump", "-Q", "fof.txt",
+                          "-O", "ref_h.gz"], tmp_path)
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = cli.main(["-L", "ref.dump", "-Q", "fof.txt",
+                       "-O", str(tmp_path / "our_h.gz")])
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    assert gzip.open(tmp_path / "our_h.gz").read() == \
+        gzip.open(tmp_path / "ref_h.gz").read()
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 @pytest.mark.parametrize("case", CASES, ids=["s6", "w14h6", "w10h2", "gtune"])
 def test_matrix_and_hits_parity(ref_binary, tmp_path, seed, case):
