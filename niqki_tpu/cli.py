@@ -180,11 +180,14 @@ def _run(args) -> int:
         print(LOGO)
         return 0
     print("+-----------------------------------+-------------------------------+")
-    print(_row("k-mer size", index.params.K))
-    print(_row("S", index.params.lF))
+    # Reference parity (src/niqki.cpp:447-453): K/S/W/H rows print the RAW
+    # CLI values (even under -L/-G, which change only the index), while the
+    # fingerprint count comes from the index itself.
+    print(_row("k-mer size", args.kmer))
+    print(_row("S", args.sketch))
     print(_row("Number of fingerprints", index.params.F))
-    print(_row("W", index.params.W))
-    print(_row("H", index.params.H))
+    print(_row("W", args.word))
+    print(_row("H", args.HHL))
     print(_row("Number of indexed genomes", index.G))
     print("+-----------------------------------+-------------------------------+")
     return 0

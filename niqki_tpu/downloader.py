@@ -20,6 +20,7 @@ import urllib.request
 import numpy as np
 
 from .index import SketchIndex
+from .io.fasta import records_from
 
 
 def name_of_accession_url(url: str) -> str:
@@ -31,20 +32,8 @@ def _fetch_records(url: str, K: int, timeout: float):
     with urllib.request.urlopen(full, timeout=timeout) as resp:
         raw = resp.read()
     f = io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(raw)))
-    header = f.readline()
-    seqs, total = [], 0
-    while header:
-        parts = []
-        line = f.readline()
-        while line and not line.startswith(b">"):
-            parts.append(line.rstrip(b"\n"))
-            line = f.readline()
-        seq = b"".join(parts)
-        if len(seq) > K:
-            seqs.append(seq)
-            total += len(seq)
-        header = line
-    return seqs, total
+    seqs = [s for _, s in records_from(f, K, "A")]
+    return seqs, sum(len(s) for s in seqs)
 
 
 def download_ncbi_fof(index: SketchIndex, fof_path: str,

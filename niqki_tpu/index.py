@@ -16,6 +16,7 @@ from __future__ import annotations
 import collections
 import json
 import os
+import zlib
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -96,9 +97,10 @@ class SketchIndex:
             from .ops.sketch import pack_codes
             return [pack_codes(*oracle.encode_record(s, p.K), p.K)
                     for _, s in read_records(path, p.K)]
-        except (OSError, EOFError) as e:
-            # Unreadable / truncated / corrupt files are skipped like the
-            # reference skips missing fof entries — ingest keeps going.
+        except (OSError, EOFError, zlib.error) as e:
+            # Unreadable / truncated / corrupt files (including broken
+            # deflate streams) are skipped like the reference skips missing
+            # fof entries — ingest keeps going.
             dbg(f"skipping unreadable {path}: {e}")
             return []
 
@@ -348,7 +350,12 @@ class SketchIndex:
         manifest = {
             "format": "niqki_tpu.sharded.v1",
             "params": {"lF": p.lF, "K": p.K, "W": p.W, "H": p.H,
-                       "min_fract": p.min_fract},
+                       "min_fract": p.min_fract,
+                       # -G stale fingerprint constants (None = H-derived):
+                       # without them a reloaded -G index would sketch
+                       # queries with different constants than its rows.
+                       "stale_mask_M": p.stale_mask_M,
+                       "stale_maximal_remainder": p.stale_maximal_remainder},
             "genomes": self.G,
             "shards": [],
         }
@@ -371,8 +378,12 @@ class SketchIndex:
         if manifest.get("format") != "niqki_tpu.sharded.v1":
             raise ValueError(f"unknown checkpoint format in {directory}")
         pp = manifest["params"]
-        idx = cls(SketchParams(lF=pp["lF"], K=pp["K"], W=pp["W"], H=pp["H"],
-                               min_fract=pp["min_fract"]), backend=backend)
+        idx = cls(SketchParams(
+            lF=pp["lF"], K=pp["K"], W=pp["W"], H=pp["H"],
+            min_fract=pp["min_fract"],
+            stale_mask_M=pp.get("stale_mask_M"),
+            stale_maximal_remainder=pp.get("stale_maximal_remainder")),
+            backend=backend)
         mats, names = [], []
         for sh in manifest["shards"]:
             z = np.load(os.path.join(directory, sh["file"]), allow_pickle=True)

@@ -39,40 +39,48 @@ def _open_maybe_gzip(path: str):
     return io.BufferedReader(f)
 
 
-def read_records(path: str, K: int,
-                 ftype: str | None = None) -> Iterator[Tuple[str, bytes]]:
-    """Yield (header, sequence_bytes) records with length > K.
+def records_from(f, K: int, ftype: str = "A"
+                 ) -> Iterator[Tuple[str, bytes]]:
+    """Yield (header, sequence_bytes) records with length > K from an open
+    binary line stream (the single owner of the reference's record-parsing
+    quirks — the file reader and the NCBI downloader both use it).
 
     header is the raw header line (including its '>'/'@' prefix) stripped of
     the trailing newline; for FASTQ the '@' line. Records failing the length
     filter are silently skipped (matching Biogetline + caller checks).
     """
-    ftype = ftype or data_type_of(path)
-    with _open_maybe_gzip(path) as f:
-        if ftype == "Q":
-            while True:
-                header = f.readline()
-                if not header:
-                    return
-                seq = f.readline().rstrip(b"\n")
-                f.readline()
-                f.readline()
-                if len(seq) > K:
-                    yield header.rstrip(b"\n").decode("utf-8", "replace"), seq
-        else:
+    if ftype == "Q":
+        while True:
             header = f.readline()
             if not header:
                 return
-            while header:
-                parts = []
+            seq = f.readline().rstrip(b"\n")
+            f.readline()
+            f.readline()
+            if len(seq) > K:
+                yield header.rstrip(b"\n").decode("utf-8", "replace"), seq
+    else:
+        header = f.readline()
+        if not header:
+            return
+        while header:
+            parts = []
+            line = f.readline()
+            while line and not line.startswith(b">"):
+                parts.append(line.rstrip(b"\n"))
                 line = f.readline()
-                while line and not line.startswith(b">"):
-                    parts.append(line.rstrip(b"\n"))
-                    line = f.readline()
-                seq = b"".join(parts)
-                if len(seq) > K:
-                    yield header.rstrip(b"\n").decode("utf-8", "replace"), seq
-                header = line
+            seq = b"".join(parts)
+            if len(seq) > K:
+                yield header.rstrip(b"\n").decode("utf-8", "replace"), seq
+            header = line
+
+
+def read_records(path: str, K: int,
+                 ftype: str | None = None) -> Iterator[Tuple[str, bytes]]:
+    """records_from over a (possibly gzipped) file path; format chosen by
+    filename substring unless given."""
+    with _open_maybe_gzip(path) as f:
+        yield from records_from(f, K, ftype or data_type_of(path))
 
 
 def read_fof(path: str) -> list[str]:

@@ -52,6 +52,9 @@ def _count_call(q, x, *, interpret: bool = False):
     Qb, Fp = q.shape                      # Fp = F/2 int32 pair lanes
     G = x.shape[0]
     cl = min(CHUNK_LANES, Fp)
+    assert Fp % cl == 0, (
+        f"F={2*Fp} does not tile into {2*cl}-fingerprint chunks; "
+        "pcount.available() must gate callers")
     grid = (G // TILE_G, Fp // cl)
     return pl.pallas_call(
         _count_kernel(Qb),
@@ -92,8 +95,10 @@ def available(F: int) -> bool:
             return False
     except Exception:
         return False
-    # F/2 pair lanes must tile into 128-lane chunks
-    return F % 256 == 0
+    # F/2 pair lanes must tile exactly into the F-chunk grid
+    Fp = F // 2
+    cl = min(CHUNK_LANES, Fp)
+    return F % 256 == 0 and Fp % cl == 0
 
 
 def match_counts_packed(q_np: np.ndarray, gp, G: int, block_q: int = 32,

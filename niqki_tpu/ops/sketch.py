@@ -142,17 +142,6 @@ def _sketch_core(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H,
 _sketch_codes_impl = jax.jit(_sketch_core,
                              static_argnames=("lF", "K", "W", "H", "mask_M", "max_rem"))
 
-# Batched variant: (B, P) code arrays, (B,) n_kmers -> (B, F) tables. One
-# transfer + one kernel per window of records: the transport pays a large
-# fixed cost per host->device copy (~46ms via the axon tunnel vs ~0.7ms/MB
-# of bandwidth), so records are always shipped stacked.
-@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H", "mask_M", "max_rem"))
-def _sketch_batch_impl(eff_fwd, eff_rc, n_kmers, *, lF, K, W, H,
-                       mask_M=None, max_rem=None):
-    core = functools.partial(_sketch_core, lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
-    return jax.vmap(core)(eff_fwd, eff_rc, n_kmers)
-
-
 def _unpack_codes(words, exc_idx):
     """2-bit wire format -> (eff_fwd, eff_rc) uint8 arrays: unpack forward
     codes, derive the reverse complement as 3 - code, zero the exception
@@ -212,7 +201,9 @@ def _use_psort(p: SketchParams) -> bool:
     return psort.available()
 
 
-EXC_PAD = 1 << 30  # out-of-range scatter index: dropped by mode="drop"
+# Exception-list padding: must exceed any valid base position so the bounded
+# scatter drops it (int32 max — safe for any addressable record length).
+EXC_PAD = np.iinfo(np.int32).max
 
 
 def pack_codes(eff_fwd: np.ndarray, eff_rc: np.ndarray, K: int):
@@ -232,9 +223,12 @@ def pack_codes(eff_fwd: np.ndarray, eff_rc: np.ndarray, K: int):
 
 def dispatch_sketch_packed_batch(records, p: SketchParams,
                                  max_elems: int = 1 << 27):
-    """Like dispatch_sketch_batch but over packed records
-    (words, n_bases, exc_idx): 2 bits/base on the wire, one transfer and one
-    vmapped kernel per batch. Returns [(record_indices, device_(B,F))]."""
+    """Asynchronously dispatch a window of packed records
+    (words, n_bases, exc_idx): records are grouped by padded length (one
+    compiled shape per bucket), stacked into one (B, Pw) buffer, shipped
+    with one transfer (2 bits/base on the wire) and sketched by one vmapped
+    kernel. Returns [(record_indices, device_(B,F))]; rows beyond
+    len(record_indices) are padding, records with no k-mers are skipped."""
     groups: dict[int, list[int]] = {}
     for i, (_, n, _e) in enumerate(records):
         if n - p.K > 0:

@@ -71,3 +71,20 @@ def test_format_double():
     assert format_double(0.8720703125) == "0.87207"
     assert format_double(0.967773437) == "0.967773"
     assert format_double(0.5) == "0.5"
+
+
+def test_sharded_checkpoint_preserves_stale_constants(tmp_path):
+    """A -G-tuned index must reload with the same fingerprint constants."""
+    import numpy as np
+    from niqki_tpu import SketchIndex, SketchParams
+
+    p = SketchParams(lF=5).with_best_H(1e8)   # H=5, stale mask/rem from H=4
+    assert p.stale_mask_M is not None
+    idx = SketchIndex(p, backend="numpy")
+    idx.insert_sketch(np.arange(p.F, dtype=np.int32), "g0")
+    idx.save_sharded(str(tmp_path / "ck"), 2)
+    back = SketchIndex.load_sharded(str(tmp_path / "ck"), backend="numpy")
+    q = back.params
+    assert (q.H, q.mask_M, q.maximal_remainder) == \
+        (p.H, p.mask_M, p.maximal_remainder)
+    assert np.array_equal(back.matrix(), idx.matrix())
