@@ -63,6 +63,7 @@ CASES = [
     ["-S", "7", "-K", "15", "-W", "14", "-H", "6"],
     ["-S", "5", "-K", "31", "-W", "10", "-H", "2"],
     ["-S", "8", "-K", "21", "-G", "5000"],        # -G stale-constant path
+    ["-S", "6", "-K", "21", "-J", "0.4"],          # reporting threshold
 ]
 
 
@@ -119,7 +120,8 @@ def test_dump_load_roundtrip_parity(ref_binary, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-@pytest.mark.parametrize("case", CASES, ids=["s6", "w14h6", "w10h2", "gtune"])
+@pytest.mark.parametrize("case", CASES,
+                         ids=["s6", "w14h6", "w10h2", "gtune", "minjac"])
 def test_matrix_and_hits_parity(ref_binary, tmp_path, seed, case):
     fof = _make_genomes(tmp_path, seed * 7919 + len(case))
     _run_ref(ref_binary, ["-M", "fof.txt", "-O", "ref_m.gz"] + case,
