@@ -101,7 +101,7 @@ def available(F: int) -> bool:
     return F % 256 == 0 and Fp % cl == 0
 
 
-def match_counts_packed(q_np: np.ndarray, gp, G: int, block_q: int = 32,
+def match_counts_packed(q_np: np.ndarray, gp, G: int, block_q: int = 64,
                         interpret: bool = False) -> jnp.ndarray:
     """counts (Q, G) int32 against a pre-packed device index.
 
@@ -122,7 +122,7 @@ def match_counts_packed(q_np: np.ndarray, gp, G: int, block_q: int = 32,
     return out[:Q, :G]
 
 
-def match_counts_pallas(q_sk, g_sk, block_q: int = 32,
+def match_counts_pallas(q_sk, g_sk, block_q: int = 64,
                         interpret: bool = False) -> jnp.ndarray:
     """counts (Q, G) int32; q_sk (Q, F), g_sk (G, F) int16 host arrays.
 
