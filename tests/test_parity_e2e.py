@@ -93,3 +93,38 @@ def test_lines_mode_golden(fixtures, tmp_path):
         with GzTextWriter(out_path) as out:
             engine.query_file_lines(idx, str(fixtures / src), out)
         assert _read_gz_text(out_path) == _read_gz_text(fixtures / fix), src
+
+
+def test_multiwindow_pipeline(tmp_path):
+    """Ingest of a fof much larger than the pipeline window (32 files):
+    exercises the windowed submit/dispatch/collect overlap and ordering."""
+    import gzip as gz
+    import numpy as np
+    from niqki_tpu import SketchIndex, SketchParams, engine
+
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(80):
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                         300 + 7 * i).tobytes().decode()
+        fn = tmp_path / f"g{i:03d}.fa.gz"
+        with gz.open(fn, "wt") as f:
+            f.write(f">g{i}\n{seq}\n")
+        names.append(fn.name)
+    fof = tmp_path / "fof.txt"
+    fof.write_text("".join(n + "\n" for n in names))
+
+    p = SketchParams(lF=5, K=21)
+    idx = SketchIndex(p)
+    engine.insert_fof_whole(idx, str(fof))
+    assert idx.G == 80
+    assert idx.names == names          # fof order preserved across windows
+    counts = idx.all_vs_all_counts()
+    assert np.array_equal(np.diag(counts), np.full(80, p.F))
+    # spot-check two files against the sequential oracle
+    from niqki_tpu import oracle
+    from niqki_tpu.io.fasta import read_records
+    for i in (0, 79):
+        want = oracle.sketch_records(
+            [s for _, s in read_records(str(tmp_path / names[i]), p.K)], p)
+        assert np.array_equal(idx.matrix()[i], want), i
