@@ -88,3 +88,21 @@ def test_sharded_checkpoint_preserves_stale_constants(tmp_path):
     assert (q.H, q.mask_M, q.maximal_remainder) == \
         (p.H, p.mask_M, p.maximal_remainder)
     assert np.array_equal(back.matrix(), idx.matrix())
+
+
+def test_binary_hits_layout(tmp_path):
+    """Binary hits bytes: name, newline, uint32 nhits, per hit uint32 gid
+    then uint32 count (the reference's dead-via-CLI format, kept for
+    library parity)."""
+    import gzip
+    import struct
+    from niqki_tpu.io.writers import GzTextWriter, write_binary_hits
+
+    path = tmp_path / "b.gz"
+    with GzTextWriter(str(path)) as out:
+        write_binary_hits(out, "queryX", [(7, 2), (5, 0)])
+    raw = gzip.open(path).read()
+    assert raw.startswith(b"queryX\n")
+    body = raw[len(b"queryX\n"):]
+    nhits, g0, c0, g1, c1 = struct.unpack("<5I", body)
+    assert (nhits, g0, c0, g1, c1) == (2, 2, 7, 0, 5)

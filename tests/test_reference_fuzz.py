@@ -67,6 +67,19 @@ CASES = [
 ]
 
 
+def test_many_files_multiwindow_parity(ref_binary, tmp_path):
+    """20 genomes: our windowed pipeline spans multiple windows while the
+    reference streams serially — outputs must still match byte-for-byte."""
+    fof = _make_genomes(tmp_path, 1234, n_files=20)
+    case = ["-S", "6", "-K", "21"]
+    _run_ref(ref_binary, ["-M", "fof.txt", "-O", "ref_m.gz"] + case,
+             tmp_path)
+    rc = cli.main(["-M", str(fof), "-O", str(tmp_path / "our_m.gz")] + case)
+    assert rc == 0
+    assert gzip.open(tmp_path / "our_m.gz").read() == \
+        gzip.open(tmp_path / "ref_m.gz").read()
+
+
 def test_lines_mode_parity(ref_binary, tmp_path):
     """-i/-l per-record mode on a multi-record FASTA and a FASTQ."""
     rng = np.random.default_rng(5)
