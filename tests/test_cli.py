@@ -10,6 +10,12 @@ import pytest
 
 from niqki_tpu import cli
 
+import os
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/root/reference/resources"),
+    reason="reference resources not mounted")
+
 FOF = "/root/reference/resources/file_of_file.txt"
 FIXDIR = __file__.rsplit("/", 1)[0] + "/fixtures"
 

@@ -18,6 +18,8 @@ pytestmark = pytest.mark.skipif(not native.available(),
 
 FIXDIR = __file__.rsplit("/", 1)[0] + "/fixtures"
 ECOLI = "/root/reference/resources/ecoli01p.fa.gz"
+needs_ref = pytest.mark.skipif(not __import__("os").path.exists(ECOLI),
+                               reason="reference resources not mounted")
 
 
 def _python_records(path, K):
@@ -30,7 +32,7 @@ def _python_records(path, K):
     (FIXDIR + "/tiny1.fa", 21),
     (FIXDIR + "/multi.fa", 21),
     (FIXDIR + "/tiny.fq", 21),
-    (ECOLI, 31),
+    pytest.param(ECOLI, 31, marks=needs_ref),
 ])
 def test_reader_matches_python(path, K):
     nat = list(native.read_encoded_records(path, K))
@@ -45,7 +47,7 @@ def test_reader_matches_python(path, K):
 @pytest.mark.parametrize("path,K", [
     (FIXDIR + "/tiny1.fa", 21),
     (FIXDIR + "/multi.fa", 21),
-    (ECOLI, 31),
+    pytest.param(ECOLI, 31, marks=needs_ref),
 ])
 def test_packed_reader_matches_python_packer(path, K):
     from niqki_tpu.ops.sketch import pack_codes
@@ -107,6 +109,7 @@ def test_cpu_sketcher_matches_oracle():
     assert np.array_equal(table.astype(np.int64), want)
 
 
+@needs_ref
 def test_cpu_sketcher_whole_genome():
     p = SketchParams(lF=10, K=31)
     (_, ef, er), = native.read_encoded_records(ECOLI, p.K)

@@ -132,7 +132,7 @@ def test_dump_load_roundtrip_parity(ref_binary, tmp_path):
         gzip.open(tmp_path / "ref_h.gz").read()
 
 
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize("case", CASES,
                          ids=["s6", "w14h6", "w10h2", "gtune", "minjac"])
 def test_matrix_and_hits_parity(ref_binary, tmp_path, seed, case):
