@@ -64,6 +64,8 @@ CASES = [
     ["-S", "5", "-K", "31", "-W", "10", "-H", "2"],
     ["-S", "8", "-K", "21", "-G", "5000"],        # -G stale-constant path
     ["-S", "6", "-K", "21", "-J", "0.4"],          # reporting threshold
+    ["-S", "5", "-K", "5"],                        # tiny k-mers
+    ["-S", "5", "-K", "21", "-W", "16", "-H", "4"],  # W>14: int32 count path
 ]
 
 
@@ -133,8 +135,9 @@ def test_dump_load_roundtrip_parity(ref_binary, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-@pytest.mark.parametrize("case", CASES,
-                         ids=["s6", "w14h6", "w10h2", "gtune", "minjac"])
+@pytest.mark.parametrize(
+    "case", CASES,
+    ids=["s6", "w14h6", "w10h2", "gtune", "minjac", "k5", "w16"])
 def test_matrix_and_hits_parity(ref_binary, tmp_path, seed, case):
     fof = _make_genomes(tmp_path, seed * 7919 + len(case))
     _run_ref(ref_binary, ["-M", "fof.txt", "-O", "ref_m.gz"] + case,
