@@ -56,6 +56,7 @@ class SketchIndex:
         self._mat: np.ndarray | None = None  # consolidated (G, F)
         self._device_mat = None              # cached device copy
         self._device_packed = None           # cached pair-packed device copy
+        self._device_planes = None           # cached bit-plane device copy
 
     # ------------------------------------------------------------------
     # sketching
@@ -191,6 +192,7 @@ class SketchIndex:
         self._rows.append(np.asarray(sketch, np.int32))
         self._device_mat = None
         self._device_packed = None
+        self._device_planes = None
         return gid
 
     def insert_file_whole(self, path: str, name: str | None = None) -> int:
@@ -299,9 +301,26 @@ class SketchIndex:
                 out[i] = (mat == row[None, :]).sum(axis=1, dtype=np.int32)
             return out
         import jax.numpy as jnp
-        from .ops import pcount
+        from .ops import bcount, pcount
         p = self.params
-        if (not os.environ.get("NIQKI_TPU_NO_PCOUNT")) and self.G >= 4096 \
+        # Kernel routing: bit-plane Pallas kernel for big indexes (the ~5x
+        # arithmetic-intensity win only matters when the index dominates),
+        # pair-packed pcount as fallback, XLA broadcast-compare otherwise.
+        # NIQKI_TPU_COUNT = auto|bcount|bcount-interpret|pcount|xla.
+        mode = os.environ.get("NIQKI_TPU_COUNT", "auto")
+        if os.environ.get("NIQKI_TPU_NO_PCOUNT"):
+            mode = "xla"
+        interp = mode == "bcount-interpret"
+        want_b = mode in ("bcount", "bcount-interpret") or (
+            mode == "auto" and self.G >= 4096)
+        if want_b and p.F % 4096 == 0 and 1 <= p.W <= 30 \
+                and (interp or bcount.available(p.F, p.W)):
+            if self._device_planes is None:
+                self._device_planes = bcount.build_index_planes(
+                    self._stored(), p.W)
+            return np.asarray(bcount.match_counts_planes(
+                q, self._device_planes, self.G, p.W, interpret=interp))
+        if mode in ("auto", "pcount") and self.G >= 4096 \
                 and p.W <= 14 and pcount.available(p.F):
             if self._device_packed is None:
                 mat16 = self._stored().astype(np.int16)

@@ -1,0 +1,172 @@
+"""Bit-plane fingerprint-match count kernel — 32 compares per lane-op.
+
+Replaces ops/pcount.py's pair-packed compare (2 fingerprints per i32 lane,
+~5 VPU ops per compare) as the query engine's hot op wherever its shape
+constraints hold. The index is stored bit-sliced: plane p of X holds bit p of
+every fingerprint, packed 32 fingerprints per uint32 lane, plus one validity
+plane. Equality over all W+1 planes is then
+
+    match = AND_p XNOR(Qp[p], Xp[p])        (one bit per fingerprint)
+    counts[q, g] = sum_lanes popcount(match)
+
+i.e. ~2(W+1) bit-ops + a popcount per 32 fingerprint compares — ~0.9 VPU
+lane-ops per compare, a ~5x arithmetic-intensity win over pair-packing, and
+(W+1)/16 the HBM traffic of the int16 layout.
+
+Counts are exactly the reference's posting-list scan results
+(/root/reference/src/niqki_index.cpp:633-687): the sentinel plane makes
+stored-empty (-2) and query-invalid (-3) slots match nothing, including each
+other (their value planes are complementary constants).
+
+Constraints: F % 4096 == 0 (the packed lane axis must tile into 128-lane
+vregs) and 1 <= W <= 30. Works for ANY W (pcount needs W <= 14).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_G = 128        # index rows per output tile (lane dim of the count tile)
+BLOCK_Q = 32        # queries per kernel launch (sublane dim, 8-aligned)
+CHUNK_LANES = 512   # packed u32 lanes per F-chunk (16384 fingerprints)
+
+
+# ---------------------------------------------------------------------------
+# bit-plane packing (device, jit)
+
+def _pack_bits(b):
+    """(N, F) uint32 of 0/1 -> (N, F/32) uint32, bit f%32 of lane f//32 =
+    value at f. log2 pairwise combine: never materializes a 32x intermediate."""
+    c = b
+    w = 1
+    while w < 32:
+        c = c[:, 0::2] | (c[:, 1::2] << np.uint32(w))
+        w *= 2
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("W", "query"))
+def pack_bitplanes(mat, *, W: int, query: bool):
+    """(N, F) int fingerprints -> (W+1, N, F/32) uint32 bit-planes.
+
+    Plane p < W = bit p of the value; plane W = 1 iff the slot is invalid
+    (empty/out-of-range). Invalid value planes are all-0 on the stored side
+    and all-1 on the query side, so invalid never matches invalid.
+    """
+    m = mat.astype(jnp.int32)
+    valid = (m >= 0) & (m < (1 << W))
+    fill = (1 << W) - 1 if query else 0
+    v = jnp.where(valid, m, fill).astype(jnp.uint32)
+    planes = [_pack_bits((v >> np.uint32(p)) & np.uint32(1)) for p in range(W)]
+    planes.append(_pack_bits(jnp.where(valid, 0, 1).astype(jnp.uint32)))
+    return jnp.stack(planes)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+
+def _bcount_kernel(qb: int, P: int):
+    def kern(q_ref, x_ref, o_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        for qi in range(qb):
+            # XNOR(x, q) == x ^ ~q; ~q folded in here (2 ops per plane).
+            m = x_ref[0] ^ ~q_ref[0, qi:qi + 1, :]
+            for p in range(1, P):
+                m &= x_ref[p] ^ ~q_ref[p, qi:qi + 1, :]
+            pc = jax.lax.population_count(m).astype(jnp.int32)
+            o_ref[qi, :] += jnp.sum(pc, axis=1)
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bcount_call(qp, xp, *, interpret: bool = False):
+    P, Qb, L = qp.shape            # L = F/32 packed lanes
+    G = xp.shape[1]
+    cl = min(CHUNK_LANES, L)
+    assert L % cl == 0 and G % TILE_G == 0
+    grid = (G // TILE_G, L // cl)
+    return pl.pallas_call(
+        _bcount_kernel(Qb, P),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P, Qb, cl), lambda g, f: (0, 0, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, TILE_G, cl), lambda g, f: (0, g, f),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Qb, TILE_G), lambda g, f: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Qb, G), jnp.int32),
+        interpret=interpret,
+    )(qp, xp)
+
+
+# ---------------------------------------------------------------------------
+# host-facing API
+
+def available(F: int, W: int | None = None) -> bool:
+    """Shape gate: the packed lane axis (F/32) must tile into 128-lane vregs."""
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    return F % 4096 == 0 and (W is None or 1 <= W <= 30)
+
+
+def pad_rows(mat16: np.ndarray, tile: int = TILE_G) -> np.ndarray:
+    """Pad index rows to a TILE_G multiple with the never-matching -2."""
+    G, F = mat16.shape
+    Gp = -(-G // tile) * tile
+    if Gp == G:
+        return mat16
+    return np.vstack([mat16, np.full((Gp - G, F), -2, mat16.dtype)])
+
+
+def build_index_planes(mat: np.ndarray, W: int, row_chunk: int = 16384):
+    """(G, F) host int matrix -> (W+1, Gp, F/32) uint32 device bit-planes.
+
+    Rows are shipped and packed in chunks so peak HBM overhead stays at one
+    chunk of the unpacked int32 form.
+    """
+    m = pad_rows(np.asarray(mat))
+    chunks = [pack_bitplanes(jnp.asarray(m[lo:lo + row_chunk]), W=W,
+                             query=False)
+              for lo in range(0, m.shape[0], row_chunk)]
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
+    return jax.block_until_ready(out)
+
+
+def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """counts (Q, G) int32 of host queries q_np (Q, F) against pre-packed
+    device bit-planes xp (W+1, Gp, F/32)."""
+    q = np.asarray(q_np, np.int32)
+    Q, F = q.shape
+    Qp = -(-Q // BLOCK_Q) * BLOCK_Q
+    if Qp != Q:
+        q = np.vstack([q, np.full((Qp - Q, F), -3, np.int32)])
+    qp = pack_bitplanes(jnp.asarray(q), W=W, query=True)
+    outs = [_bcount_call(qp[:, lo:lo + BLOCK_Q], xp, interpret=interpret)
+            for lo in range(0, Qp, BLOCK_Q)]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out[:Q, :G]
+
+
+def match_counts_bitplane(q_sk, g_sk, W: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Convenience wrapper packing both sides; for a resident index use
+    build_index_planes + match_counts_planes."""
+    g = np.asarray(g_sk)
+    xp = build_index_planes(g, W)
+    return match_counts_planes(np.asarray(q_sk), xp, g.shape[0], W,
+                               interpret=interpret)
