@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Print ASCII art logo, then exit.")
     x.add_argument("--backend", default="jax", choices=["jax", "numpy"],
                    help="Compute backend (default jax).")
+    x.add_argument("--mesh", metavar="<DxT|auto|off>",
+                   help="Device mesh for multi-chip runs: 'auto' (default; "
+                        "('dp','tp') over all TPU devices when more than "
+                        "one), an explicit shape like '2x4', or 'off'.")
     x.add_argument("--profile", metavar="<dir>",
                    help="Write a jax.profiler trace (TensorBoard/XProf) of "
                         "the run to this directory.")
@@ -118,7 +122,19 @@ def main(argv=None) -> int:
 
 
 def _run(args) -> int:
+    import contextlib
+    import os
+    with contextlib.ExitStack() as stack:
+        if args.mesh:
+            prev = os.environ.get("NIQKI_TPU_MESH")
+            os.environ["NIQKI_TPU_MESH"] = args.mesh
+            stack.callback(lambda: os.environ.update(
+                {"NIQKI_TPU_MESH": prev}) if prev is not None
+                else os.environ.pop("NIQKI_TPU_MESH", None))
+        return _run_inner(args)
 
+
+def _run_inner(args) -> int:
     params = SketchParams(lF=args.sketch, K=args.kmer, W=args.word,
                           H=args.HHL, min_fract=args.minjac)
     print("+-------------------------------------------------------------------+")

@@ -57,6 +57,7 @@ class SketchIndex:
         self._device_mat = None              # cached device copy
         self._device_packed = None           # cached pair-packed device copy
         self._device_planes = None           # cached bit-plane device copy
+        self._sharded = None                 # cached multi-chip ShardedIndex
 
     # ------------------------------------------------------------------
     # sketching
@@ -193,6 +194,7 @@ class SketchIndex:
         self._device_mat = None
         self._device_packed = None
         self._device_planes = None
+        self._sharded = None
         return gid
 
     def insert_file_whole(self, path: str, name: str | None = None) -> int:
@@ -303,6 +305,16 @@ class SketchIndex:
         import jax.numpy as jnp
         from .ops import bcount, pcount
         p = self.params
+        # Multi-chip: when a production mesh is active (NIQKI_TPU_MESH /
+        # --mesh, or >1 TPU device), serve counts from the tp-row-sharded
+        # ShardedIndex — identical results, sharding is a layout choice.
+        from .parallel.auto import active_mesh
+        mesh = active_mesh()
+        if mesh is not None:
+            if self._sharded is None or self._sharded.G != self.G:
+                from .parallel.serving import ShardedIndex
+                self._sharded = ShardedIndex(self, mesh)
+            return self._sharded.counts(q)
         # Kernel routing: bit-plane Pallas kernel for big indexes (the ~5x
         # arithmetic-intensity win only matters when the index dominates),
         # pair-packed pcount as fallback, XLA broadcast-compare otherwise.
@@ -311,8 +323,11 @@ class SketchIndex:
         if os.environ.get("NIQKI_TPU_NO_PCOUNT"):
             mode = "xla"
         interp = mode == "bcount-interpret"
+        # auto prefers the pair-packed pcount kernel (fastest measured);
+        # bcount covers the W > 14 shapes pcount cannot.
         want_b = mode in ("bcount", "bcount-interpret") or (
-            mode == "auto" and self.G >= 4096)
+            mode == "auto" and self.G >= 4096
+            and not (p.W <= 14 and pcount.available(p.F)))
         if want_b and p.F % 4096 == 0 and 1 <= p.W <= 30 \
                 and (interp or bcount.available(p.F, p.W)):
             if self._device_planes is None:

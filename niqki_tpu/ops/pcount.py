@@ -23,6 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_G = 128       # index rows per tile (output tile lane dimension)
 CHUNK_LANES = 4096  # i32 pair lanes per F-chunk (8192 fingerprints)
+PC_BLOCK_Q = 64    # queries per kernel launch (default block_q)
 
 
 def _count_kernel(qb: int):

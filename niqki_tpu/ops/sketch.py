@@ -161,23 +161,21 @@ def _sketch_packed_core(words, n_kmers, exc_idx, *, lF, K, W, H,
     return _sketch_core(codes, eff_rc, n_kmers, lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
 
 
-@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H", "mask_M", "max_rem"))
-def _sketch_packed_batch_impl(words, n_kmers, exc_idx, *, lF, K, W, H,
-                              mask_M=None, max_rem=None):
-    core = functools.partial(_sketch_packed_core, lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
-    return jax.vmap(core)(words, n_kmers, exc_idx)
-
-
-@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H", "mask_M", "max_rem"))
-def _sketch_packed_batch_psort_impl(words, n_kmers, exc_idx, *,
-                                    lF, K, W, H, mask_M=None, max_rem=None):
-    """Packed batch sketch with the Pallas bitonic sorter as the per-slot-min
-    reduction (keys padded per row to the next power of two)."""
+def _batch_core(words, n_kmers, exc_idx, *, lF, K, W, H,
+                mask_M=None, max_rem=None, psort=False):
+    """Batched packed-record sketch body, shared by the single-device jitted
+    impls and the mesh shard_map wrapper (per-shard execution is identical —
+    sharding the batch axis is a layout choice, never a semantics choice)."""
+    if not psort:
+        core = functools.partial(_sketch_packed_core, lF=lF, K=K, W=W, H=H,
+                                 mask_M=mask_M, max_rem=max_rem)
+        return jax.vmap(core)(words, n_kmers, exc_idx)
     from .psort import sort_i32_pow2_batch
 
     def keys_one(w, nk, exc):
         codes, eff_rc = _unpack_codes(w, exc)
-        return _keys_core(codes, eff_rc, nk, lF=lF, K=K, W=W, H=H, mask_M=mask_M, max_rem=max_rem)
+        return _keys_core(codes, eff_rc, nk, lF=lF, K=K, W=W, H=H,
+                          mask_M=mask_M, max_rem=max_rem)
 
     keys = jax.vmap(keys_one)(words, n_kmers, exc_idx)     # (B, P-K)
     n = keys.shape[1]
@@ -187,6 +185,42 @@ def _sketch_packed_batch_psort_impl(words, n_kmers, exc_idx, *,
     sk = sort_i32_pow2_batch(keys)
     Wb = _fp_bits(W, H, mask_M, max_rem)
     return jax.vmap(functools.partial(_extract_core, lF=lF, Wb=Wb))(sk)
+
+
+@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H", "mask_M", "max_rem"))
+def _sketch_packed_batch_impl(words, n_kmers, exc_idx, *, lF, K, W, H,
+                              mask_M=None, max_rem=None):
+    return _batch_core(words, n_kmers, exc_idx, lF=lF, K=K, W=W, H=H,
+                       mask_M=mask_M, max_rem=max_rem, psort=False)
+
+
+@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H", "mask_M", "max_rem"))
+def _sketch_packed_batch_psort_impl(words, n_kmers, exc_idx, *,
+                                    lF, K, W, H, mask_M=None, max_rem=None):
+    """Packed batch sketch with the Pallas bitonic sorter as the per-slot-min
+    reduction (keys padded per row to the next power of two)."""
+    return _batch_core(words, n_kmers, exc_idx, lF=lF, K=K, W=W, H=H,
+                       mask_M=mask_M, max_rem=max_rem, psort=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _mesh_batch_fn(mesh, pkey, psort: bool):
+    """Jitted shard_map wrapper running _batch_core with the record-batch
+    axis sharded over every mesh device (('dp','tp') flattened) — the DP
+    story of the production ingest path. Cached per (mesh, params, path)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    lF, K, W, H, mask_M, max_rem = pkey
+    core = functools.partial(_batch_core, lF=lF, K=K, W=W, H=H,
+                             mask_M=mask_M, max_rem=max_rem, psort=psort)
+    fn = shard_map(
+        core, mesh=mesh,
+        in_specs=(P(("dp", "tp"), None), P(("dp", "tp")),
+                  P(("dp", "tp"), None)),
+        out_specs=P(("dp", "tp"), None),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def _use_psort(p: SketchParams) -> bool:
@@ -234,14 +268,24 @@ def dispatch_sketch_packed_batch(records, p: SketchParams,
         if n - p.K > 0:
             groups.setdefault(padded_size(n), []).append(i)
     out = []
-    impl = (_sketch_packed_batch_psort_impl if _use_psort(p)
-            else _sketch_packed_batch_impl)
+    use_psort = _use_psort(p)
+    from ..parallel.auto import active_mesh
+    mesh = active_mesh()
+    if mesh is None:
+        impl = (_sketch_packed_batch_psort_impl if use_psort
+                else _sketch_packed_batch_impl)
+        row_align = 2
+    else:
+        pkey = (p.lF, p.K, p.W, p.H, p.mask_M, p.maximal_remainder)
+        mesh_fn = _mesh_batch_fn(mesh, pkey, use_psort)
+        impl = lambda w, nk, ex, **_: mesh_fn(w, nk, ex)  # noqa: E731
+        row_align = 2 * mesh.devices.size  # even rows per device shard
     for P, idxs in sorted(groups.items()):
         maxb = max(1, (max_elems // 4) // P)  # words are 4x denser
         for lo in range(0, len(idxs), maxb):
             chunk = idxs[lo:lo + maxb]
             B = len(chunk)
-            Bp = -(-B // 2) * 2  # pad rows to a multiple of 2
+            Bp = -(-B // row_align) * row_align
             Pw = P // 16
             emax = max(len(records[i][2]) for i in chunk)
             E = max(8, 1 << (max(emax, 1) - 1).bit_length())

@@ -1,10 +1,15 @@
 """Multi-chip index serving: the engine's distributed query path.
 
-ShardedIndex places a SketchIndex's dense (G, F) fingerprint matrix
-row-sharded over the mesh's 'tp' axis (each chip owns a contiguous genome
-range — the TP analog of sharding NIQKI's bucket table) and runs hit
+ShardedIndex places a SketchIndex's index row-sharded over the mesh's 'tp'
+axis (each chip owns a contiguous genome range — the TP analog of sharding
+NIQKI's bucket table, /root/reference/src/niqki_index.cpp:27) and runs hit
 counting under shard_map with query batches sharded over 'dp'. Count blocks
 land sharded over both axes and are gathered once per batch.
+
+The per-shard kernel is the bit-plane Pallas kernel (ops/bcount) whenever
+its shape gate holds — each chip holds its shard as W+1 bit-planes — with
+the dense XLA compare as the small-index fallback. Counts are identical to
+the single-device path by construction (sharding is a layout choice).
 
 Multi-host: call `init_distributed()` (jax.distributed) on every host before
 building the mesh; the same code then spans hosts with DCN collectives —
@@ -21,7 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index import SketchIndex
 from .mesh import make_mesh, default_mesh_shape
-from .sharded import sharded_count
+from .sharded import (sharded_count, sharded_count_packed,
+                      sharded_count_planes)
 
 
 def init_distributed(coordinator: str | None = None,
@@ -38,7 +44,9 @@ def init_distributed(coordinator: str | None = None,
 class ShardedIndex:
     """Row-sharded device-resident index for batched multi-chip queries."""
 
-    def __init__(self, index: SketchIndex, mesh: Mesh | None = None):
+    def __init__(self, index: SketchIndex, mesh: Mesh | None = None,
+                 interpret: bool | None = None):
+        from ..ops import bcount
         if mesh is None:
             devs = jax.devices()
             dp, tp = default_mesh_shape(len(devs))
@@ -49,27 +57,77 @@ class ShardedIndex:
         self.G = index.G
         self._tp = mesh.shape["tp"]
         self._dp = mesh.shape["dp"]
+        p = self.params
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        self._interpret = interpret
+        # Per-shard kernel choice mirrors SketchIndex.counts: pair-packed
+        # pcount (fastest measured) when its int16 gate holds, bit-plane
+        # bcount for the W > 14 shapes, dense XLA compare for small indexes.
+        big = self.G >= 4096 or interpret
+        from ..ops import pcount
+        if big and p.W <= 14 and p.F % 256 == 0 and (p.F // 2) % min(
+                pcount.CHUNK_LANES, p.F // 2) == 0:
+            self._kernel = "packed"
+            row_align = self._tp * pcount.TILE_G
+        elif big and p.F % 4096 == 0 and 1 <= p.W <= 30:
+            self._kernel = "planes"
+            row_align = self._tp * bcount.TILE_G
+        else:
+            self._kernel = "dense"
+            row_align = self._tp
         mat = index._stored()  # empty slots already mapped to non-matching
-        pad_g = -self.G % self._tp
+        pad_g = -self.G % row_align
+        self._Gp = self.G + pad_g
         if pad_g:
             # Padding rows of -2 can never match a fingerprint (valid range
             # [-1, 2^W)); they are sliced off the count output anyway.
             mat = np.vstack([mat, np.full((pad_g, mat.shape[1]), -2,
                                           np.int32)])
-        self._mat = jax.device_put(
-            mat, NamedSharding(mesh, P("tp", None)))
-        self._count = sharded_count(mesh)
+        if self._kernel == "packed":
+            gp = pcount.pack_rows_np(mat.astype(np.int16))
+            self._mat = jax.device_put(
+                gp, NamedSharding(mesh, P("tp", None)))
+            self._count = sharded_count_packed(mesh, interpret=interpret)
+        elif self._kernel == "planes":
+            mat_dev = jax.device_put(
+                mat, NamedSharding(mesh, P("tp", None)))
+            self._planes = jax.jit(
+                bcount.pack_bitplanes,
+                static_argnames=("W", "query"),
+                out_shardings=NamedSharding(mesh, P(None, None, "tp")),
+            )(mat_dev, W=p.W, query=False)
+            self._count = sharded_count_planes(mesh, interpret=interpret)
+            self._qpack = jax.jit(
+                bcount.pack_bitplanes, static_argnames=("W", "query"),
+                out_shardings=NamedSharding(mesh, P(None, None, "dp")))
+        else:
+            self._mat = jax.device_put(
+                mat, NamedSharding(mesh, P("tp", None)))
+            self._count = sharded_count(mesh)
 
     def counts(self, q_sketches: np.ndarray) -> np.ndarray:
-        """(Q, G) hit counts; Q is padded to a 'dp' multiple internally."""
+        """(Q, G) hit counts; Q is padded to the mesh's block multiple."""
+        from ..ops.bcount import BLOCK_Q
+        from ..ops.pcount import PC_BLOCK_Q, pack_rows_np
         q = np.atleast_2d(np.asarray(q_sketches, np.int32))
         q = np.where((q < 0) | (q >= self.params.fingerprint_range), -3, q)
         Q = len(q)
-        pad_q = -Q % self._dp
+        q_align = self._dp * {"packed": PC_BLOCK_Q, "planes": BLOCK_Q,
+                              "dense": 1}[self._kernel]
+        pad_q = -Q % q_align
         if pad_q:
-            q = np.vstack([q, np.full((pad_q, q.shape[1]), -2, np.int32)])
-        qd = jax.device_put(q, NamedSharding(self.mesh, P("dp", None)))
-        out = self._count(qd, self._mat)
+            q = np.vstack([q, np.full((pad_q, q.shape[1]), -3, np.int32)])
+        if self._kernel == "packed":
+            qp = pack_rows_np(q.astype(np.int16))
+            qd = jax.device_put(qp, NamedSharding(self.mesh, P("dp", None)))
+            out = self._count(qd, self._mat)
+        elif self._kernel == "planes":
+            qp = self._qpack(jnp.asarray(q), W=self.params.W, query=True)
+            out = self._count(qp, self._planes)
+        else:
+            qd = jax.device_put(q, NamedSharding(self.mesh, P("dp", None)))
+            out = self._count(qd, self._mat)
         return np.asarray(out)[:Q, :self.G]
 
     def hits(self, q_sketch: np.ndarray):

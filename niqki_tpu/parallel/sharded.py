@@ -97,6 +97,145 @@ def sharded_count(mesh: Mesh):
     return jax.jit(fn)
 
 
+def sharded_count_planes(mesh: Mesh, interpret: bool = False):
+    """Bit-plane Pallas count under shard_map: the production multi-chip
+    query kernel (ops/bcount per index shard).
+
+    Returns a jitted fn(qp (P, L, Q), xp (P, L, Gp)) -> counts (Q, Gp) with
+    the query block axis sharded on 'dp', index rows on 'tp', output on both.
+    Q must be a dp*BLOCK_Q multiple and Gp a tp*TILE_G multiple (callers pad
+    with the never-matching sentinel planes).
+    """
+    from ..ops.bcount import BLOCK_Q, _bcount_call
+
+    def per_shard(qp, xp):
+        Qs = qp.shape[2]
+        outs = [_bcount_call(qp[:, :, lo:lo + BLOCK_Q], xp,
+                             interpret=interpret)
+                for lo in range(0, Qs, BLOCK_Q)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(None, None, "dp"), P(None, None, "tp")),
+        out_specs=P("dp", "tp"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_count_packed(mesh: Mesh, interpret: bool = False):
+    """Pair-packed Pallas count (ops/pcount) under shard_map.
+
+    Returns a jitted fn(qp (Q, F/2) i32, xp (Gp, F/2) i32) -> counts (Q, Gp)
+    with queries sharded on 'dp', index rows on 'tp', output on both. Q must
+    be a dp*PC_BLOCK_Q multiple and Gp a tp*TILE_G multiple.
+    """
+    from ..ops.pcount import _count_call, PC_BLOCK_Q
+
+    def per_shard(qp, xp):
+        Qs = qp.shape[0]
+        outs = [_count_call(qp[lo:lo + PC_BLOCK_Q], xp, interpret=interpret)
+                for lo in range(0, Qs, PC_BLOCK_Q)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("dp", None), P("tp", None)),
+        out_specs=P("dp", "tp"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def chunk_packed(words: np.ndarray, n_bases: int, exc: np.ndarray,
+                 n_chunks: int, K: int):
+    """Split one record's 2-bit packed wire form into n_chunks overlapping
+    chunks on word boundaries (the SP/CP sharding of the production ingest
+    step — 4x less transfer than chunking the unpacked uint8 codes).
+
+    Chunk j produces k-mer positions [j*C, (j+1)*C) of the record; C is the
+    per-chunk k-mer capacity rounded up to a 16-base word multiple so chunk
+    starts stay word-aligned. Exceptions are remapped to chunk-local
+    positions (EXC_PAD padding).
+
+    Returns (chunk_words (T, Wc) uint32, n_valid (T,) int32,
+             exc_local (T, E) int32).
+    """
+    from ..ops.sketch import EXC_PAD
+    n_kmers = max(n_bases - K, 0)
+    C = -(-max(n_kmers, 1) // n_chunks)
+    C = -(-C // 16) * 16                       # word-aligned chunk starts
+    Wc = (C + K + 15) // 16
+    out_w = np.zeros((n_chunks, Wc), np.uint32)
+    nv = np.zeros(n_chunks, np.int32)
+    exc = np.asarray(exc, np.int32)
+    loc: list[np.ndarray] = []
+    for j in range(n_chunks):
+        lo = j * C                             # first base of the chunk
+        w0 = lo // 16
+        if w0 < len(words):
+            span = words[w0:w0 + Wc]
+            out_w[j, :len(span)] = span
+        nv[j] = min(max(n_kmers - lo, 0), C)
+        e = exc[(exc >= lo) & (exc < lo + C + K)] - lo
+        loc.append(e)
+    E = max(8, 1 << (max((len(e) for e in loc), default=1) - 1).bit_length()) \
+        if any(len(e) for e in loc) else 8
+    out_e = np.full((n_chunks, E), EXC_PAD, np.int32)
+    for j, e in enumerate(loc):
+        out_e[j, :len(e)] = e
+    return out_w, nv, out_e
+
+
+def make_ingest_step_packed(p: SketchParams, mesh: Mesh):
+    """The production fused multi-chip step on the 2-bit packed wire format:
+    SP-chunked sketch (+pmin merge), on-device densify, EP-routed insert into
+    the tp-sharded index, and a DPxTP count of the batch against the updated
+    index. Jit-compatible, shape-static, no locks.
+
+    fn(words (Q,T,Wc) u32, nv (Q,T) i32, exc (Q,T,E) i32, index (G,F) i32,
+       g0 scalar) -> (new_index (G,F), counts (Q,G))
+    """
+    from ..ops.sketch import _sketch_packed_core
+
+    def sketch_one(w, n, e):
+        return _sketch_packed_core(
+            w, n, e, lF=p.lF, K=p.K, W=p.W, H=p.H,
+            mask_M=p.mask_M, max_rem=p.maximal_remainder)
+
+    def step(words, nv, exc, index, g0):
+        tp_id = jax.lax.axis_index("tp")
+
+        tables = jax.vmap(jax.vmap(sketch_one))(words, nv, exc)  # (Qs,Ts,F)
+        local = jnp.min(tables, axis=1)
+        merged = jax.lax.pmin(local, axis_name="tp")
+        merged = jax.vmap(lambda t: densify_device(t, lF=p.lF))(merged)
+
+        # EP-style routed insert (same routing rule as make_ingest_step).
+        all_sk = jax.lax.all_gather(merged, "dp", axis=0, tiled=True)
+        Q = all_sk.shape[0]
+        Gs = index.shape[0]
+        gpos = g0 + jnp.arange(Q, dtype=jnp.int32)
+        lpos = gpos - tp_id * Gs
+        lpos = jnp.where((lpos >= 0) & (lpos < Gs), lpos, Gs)
+        index = index.at[lpos].set(all_sk, mode="drop")
+
+        counts = jnp.sum(
+            (merged[:, None, :] == index[None, :, :]), axis=-1,
+            dtype=jnp.int32)
+        return index, counts
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("dp", "tp", None), P("dp", "tp"), P("dp", "tp", None),
+                  P("tp", None), P()),
+        out_specs=(P("tp", None), P("dp", "tp")),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_ingest_step(p: SketchParams, mesh: Mesh):
     """The engine's full 'training step': sketch an ingest batch (SP over
     chunks), insert it into the sharded index at rows [g0, g0+Q) (EP-style
