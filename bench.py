@@ -30,7 +30,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_once(out_path: str) -> float:
+def run_once(out_path: str):
     from niqki_tpu import SketchIndex, SketchParams, engine
     from niqki_tpu.io.writers import GzTextWriter
     t0 = time.time()
@@ -38,7 +38,33 @@ def run_once(out_path: str) -> float:
     engine.insert_fof_whole(idx, FOF)
     with GzTextWriter(out_path) as out:
         engine.query_matrix(idx, out)
-    return time.time() - t0
+    return time.time() - t0, idx
+
+
+def kernel_parity_gate(idx) -> bool:
+    """Byte-compare the compiled Pallas count kernels (pcount pair-packed,
+    bcount bit-plane) against the XLA path ON THE REAL CHIP at a G large
+    enough to route through them (the golden matrix at G=9 uses the XLA
+    path, so a Mosaic miscompile would otherwise ship silently)."""
+    import numpy as np
+    from niqki_tpu import SketchIndex
+    n_rep = -(-4104 // idx.G)
+    big = SketchIndex(idx.params)
+    big._mat = np.tile(idx.matrix(), (n_rep, 1))[:4104]
+    big.names = [f"t{i}" for i in range(len(big._mat))]
+    q = idx.matrix()
+    results = {}
+    for mode in ("xla", "pcount", "bcount"):
+        os.environ["NIQKI_TPU_COUNT"] = mode
+        big._device_mat = big._device_packed = big._device_planes = None
+        t0 = time.time()
+        results[mode] = big.counts(q)
+        log(f"parity gate {mode}: {time.time() - t0:.2f}s")
+    os.environ.pop("NIQKI_TPU_COUNT", None)
+    ok = (results["xla"] == results["pcount"]).all() and \
+         (results["xla"] == results["bcount"]).all()
+    log(f"pallas kernel parity vs XLA at G={big.G}: {ok}")
+    return bool(ok)
 
 
 def main():
@@ -48,15 +74,19 @@ def main():
         warm = os.path.join(td, "warm.gz")
         out = os.path.join(td, "matrix.gz")
         log("warmup (jit compile)...")
-        t = run_once(warm)
+        t, _ = run_once(warm)
         log(f"warmup run: {t:.2f}s")
-        t = run_once(out)
+        t, idx = run_once(out)
         log(f"timed run: {t:.2f}s")
         with gzip.open(out) as f, gzip.open(GOLDEN) as g:
             ok = f.read() == g.read()
         log(f"output matches reference golden: {ok}")
         if not ok:
             print(json.dumps({"metric": "ecoli9_matrix_s15_PARITY_FAIL",
+                              "value": 0.0, "unit": "s", "vs_baseline": 0.0}))
+            return 1
+        if not kernel_parity_gate(idx):
+            print(json.dumps({"metric": "pallas_count_PARITY_FAIL",
                               "value": 0.0, "unit": "s", "vs_baseline": 0.0}))
             return 1
     print(json.dumps({

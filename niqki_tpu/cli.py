@@ -37,6 +37,101 @@ LOGO = r"""
 """
 
 
+def _print_logo() -> None:
+    """--logo: the reference reads ../resources/niqki.ascii relative to the
+    CWD (src/niqki.cpp:432-445); when that file exists we print it for
+    parity, otherwise the built-in banner (documented divergence — the
+    reference prints \"Unable to open file :'../resources/niqki.ascii'\")."""
+    try:
+        with open("../resources/niqki.ascii") as f:
+            print(f.read(), end="")
+    except OSError:
+        print(LOGO)
+
+
+# Usage text mirroring the reference's usage[] table (src/niqki.cpp:102-185)
+# verbatim — including its quirks: the --querylines row SAYS -q although the
+# parsed short flag is -l, -J's documented default (0.1) differs from the
+# code's 0, and the "Rought"/"accesion" typos. Printed on -h/--help or on a
+# bare invocation (src/niqki.cpp:252-255), to stderr like printUsage(clog).
+USAGE = """
+***Input***
+  --index, -I <filename>        Input file of files to Index.
+
+  --query, -Q <filename>        Input file of file to Query.
+
+  --indexlines, -i <filename>   Query fa/fq file where each line is a separate
+                                entry to Index
+
+  --querylines, -q <filename>   Input fa/fq where each line is a separate entry
+                                to Query
+
+***Main parameters***
+  --kmer, -K <int>              Kmer size (31).
+
+  --sketch, -S <int>            Set sketch size to 2^S (15).
+
+***Output***
+  --output, -O <filename>       Output file (niqkiOutput.gz)
+  --minjac, -J <int>            Minimal jaccard Index to report (0.1).
+
+  --pretty, -P                  Print a human-readable outfile. By default the
+                                outfile is in binary.
+  --matrix, -M <filename>       Output the matrix distance to the given file.
+
+***Advanced parameters*** (You know what you are doing)
+  --word, -W <int>              Fingerprint size (12). Modify with caution,
+                                larger fingerprints enable queries with less
+                                false positive but increase EXPONENTIALY the
+                                overhead as the index count S*2^W cells.
+
+  --Genomes_sizes, -G <int>     Rought expectation of the genome sizes.
+
+  --HHL, -H <int>               Size of the hyperloglog section (4).  Modify
+                                with caution and prefer to use -G.
+
+***Index files***
+  --dump, -D <filename>         Dump the current index to the given file.
+  --load, -L <filename>         Load an index to the given file.
+
+***Other***
+  --indexdownload, -Iddl <filename>
+                                Get a list of NCBI accesion to download and to
+                                put it in the index (experimental). This this
+                                post to get such a list:
+                                https://www.ncbi.nlm.nih.gov/genome/doc/ftpfaq/#allcomplete
+
+  --logo                        Print ASCII art logo, then exit.
+  --help, -h                    Print usage and exit.
+
+***TPU-native additions (niqki_tpu only)***
+  --mesh <DxT|auto|off>         Device mesh for multi-chip runs.
+  --backend <jax|numpy>         Compute backend (default jax).
+  --binary-hits                 The reference's unreachable binary hit format.
+  --save-sharded/--load-sharded <dir>, --shards <n>
+                                Native sharded checkpoint format.
+  --profile <dir>               Write a jax.profiler trace of the run.
+"""
+
+
+class _UsageAction(argparse.Action):
+    def __call__(self, parser, namespace, values, option_string=None):
+        print(USAGE, end="", file=sys.stderr)
+        parser.exit(0)
+
+
+def _openable(path: str) -> bool:
+    """Reference-style operator error reporting: main() checks each input
+    with an ifstream and prints \"Unable to open the file '<f>'\"
+    (src/niqki.cpp:317-319, 331-334, 346-349, 369-372, 401-404, 414-417)."""
+    try:
+        open(path, "rb").close()
+        return True
+    except OSError:
+        print(f"Unable to open the file '{path}'")
+        return False
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="niqki-tpu", add_help=False,
@@ -102,7 +197,7 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--profile", metavar="<dir>",
                    help="Write a jax.profiler trace (TensorBoard/XProf) of "
                         "the run to this directory.")
-    x.add_argument("-h", "--help", action="help",
+    x.add_argument("-h", "--help", action=_UsageAction, nargs=0,
                    help="Print usage and exit.")
     return ap
 
@@ -112,9 +207,23 @@ def _row(label: str, value) -> str:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    if args.logo and len([a for a in (argv or sys.argv[1:]) if a]) == 1:
-        print(LOGO)
+    raw = list(argv) if argv is not None else sys.argv[1:]
+    if not raw:
+        # bare invocation prints usage and succeeds (src/niqki.cpp:252-255)
+        print(USAGE, end="", file=sys.stderr)
+        return 0
+    args, extra = build_parser().parse_known_args(argv)
+    if extra:
+        # src/niqki.cpp:275-283: complain about every non-option argument,
+        # then "Bad usage!!!" and EXIT_FAILURE.
+        for i, a in enumerate(extra):
+            print(f"Non-option argument #{i} is {a}")
+            print(f"Ignoring unknown argument '{a}'")
+        print("Bad usage!!!")
+        return 1
+    if args.logo and len([a for a in (argv if argv is not None
+                                      else sys.argv[1:]) if a]) == 1:
+        _print_logo()
         return 0
     from .debug import profile
     with profile(args.profile):
@@ -142,7 +251,11 @@ def _run_inner(args) -> int:
     print("+-----------------------------------+-------------------------------+")
     if args.load:
         # The reference's load constructor takes min_score from the dump and
-        # ignores -J entirely (src/niqki.cpp:296-298, load ctor).
+        # ignores -J entirely (src/niqki.cpp:296-298, load ctor). A missing
+        # dump crashes the reference with an uncaught zstr exception; we
+        # print the standard message and exit nonzero.
+        if not _openable(args.load):
+            return 1
         index = SketchIndex.load(args.load, backend=args.backend)
     elif args.load_sharded:
         index = SketchIndex.load_sharded(args.load_sharded,
@@ -158,12 +271,23 @@ def _run_inner(args) -> int:
     t_start = time.time()
 
     if args.index:
+        if not _openable(args.index):
+            # insert_file_of_file_whole prints again (post-chdir basename)
+            # and exit(0)s (src/niqki_index.cpp:464-467).
+            import os as _os
+            print(f"Unable to open the file "
+                  f"'{_os.path.basename(args.index)}'")
+            out.close()
+            return 0
         engine.insert_fof_whole(index, args.index)
     if args.indexlines:
+        if not _openable(args.indexlines):
+            return 1  # the reference crashes (uncaught zstr exception)
         engine.insert_file_lines(index, args.indexlines)
     if args.indexdownload:
-        from .downloader import download_ncbi_fof
-        download_ncbi_fof(index, args.indexdownload)
+        if _openable(args.indexdownload):
+            from .downloader import download_ncbi_fof
+            download_ncbi_fof(index, args.indexdownload)
     if args.dump:
         index.dump(args.dump)
     if args.save_sharded:
@@ -173,10 +297,17 @@ def _run_inner(args) -> int:
     print(_row("Indexing lasted (s)", f"{t_indexed - t_start:g}"))
 
     if args.matrix:
+        matrix_ok = _openable(args.matrix)
         # The reference indexes the matrix fof whenever -I/-i are absent —
         # including on top of a loaded index (src/niqki.cpp:373-384 checks
         # only LIST/LISTLINES).
         if not args.index and not args.indexlines:
+            if not matrix_ok:
+                import os as _os
+                print(f"Unable to open the file "
+                      f"'{_os.path.basename(args.matrix)}'")
+                out.close()
+                return 0  # insert_file_of_file_whole exit(0)s
             t0 = time.time()
             engine.insert_fof_whole(index, args.matrix)
             print(_row("Indexing lasted (s)", f"{time.time() - t0:g}"))
@@ -184,8 +315,12 @@ def _run_inner(args) -> int:
         engine.query_matrix(index, out)
         print(_row("Query lasted (s)", f"{time.time() - t0:g}"))
     if args.query:
+        if not _openable(args.query):
+            return 1  # the reference crashes (uncaught zstr exception)
         engine.query_fof_whole(index, args.query, out, pretty=pretty)
     if args.querylines:
+        if not _openable(args.querylines):
+            return 1  # the reference crashes (uncaught zstr exception)
         engine.query_file_lines(index, args.querylines, out, pretty=pretty)
     out.close()
 
@@ -193,7 +328,7 @@ def _run_inner(args) -> int:
     print(_row("Query lasted (s)", f"{t_end - t_indexed:g}"))
     print(_row("Whole run lasted (s)", f"{t_end - t_start:g}"))
     if args.logo:
-        print(LOGO)
+        _print_logo()
         return 0
     print("+-----------------------------------+-------------------------------+")
     # Reference parity (src/niqki.cpp:447-453): K/S/W/H rows print the RAW

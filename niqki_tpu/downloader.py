@@ -20,7 +20,6 @@ import urllib.request
 import numpy as np
 
 from .index import SketchIndex
-from .io.fasta import records_from
 
 
 def name_of_accession_url(url: str) -> str:
@@ -28,11 +27,24 @@ def name_of_accession_url(url: str) -> str:
 
 
 def _fetch_records(url: str, K: int, timeout: float):
+    """Contigs of one accession, with the reference Download_NCBI's exact
+    flush quirks (src/niqki_index.cpp:810-827): a contig is only flushed
+    when the NEXT '>' line is seen, so the final contig is always dropped;
+    and a contig of length <= K is NOT cleared — its bases prepend the next
+    contig. (Unreachable in the zero-egress test env; kept bit-faithful for
+    the -Iddl differential in tests/test_downloader.py.)"""
     full = f"{url}/{name_of_accession_url(url)}_genomic.fna.gz"
     with urllib.request.urlopen(full, timeout=timeout) as resp:
         raw = resp.read()
     f = io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(raw)))
-    seqs = [s for _, s in records_from(f, K, "A")]
+    seqs = []
+    sequence = b""
+    for line in f:
+        if not line.startswith(b">"):
+            sequence += line.rstrip(b"\n")
+        elif len(sequence) > K:
+            seqs.append(sequence)
+            sequence = b""
     return seqs, sum(len(s) for s in seqs)
 
 

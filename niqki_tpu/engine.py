@@ -118,17 +118,29 @@ def query_matrix(index: SketchIndex, out: GzTextWriter,
                              p.F, p.min_score)
 
 
+def query_file_matrix(index: SketchIndex, path: str,
+                      out: GzTextWriter) -> None:
+    """One matrix-formatted row (no header) for a whole-file query — the
+    reference's query_file_whole_matrix (src/niqki_index.cpp:702-717):
+    query_sketch thresholding then a dense count/F row."""
+    counts = index.counts(index.sketch_file(path)[None, :])[0]
+    write_matrix_row(out, path, counts.tolist(), index.params.F,
+                     index.params.min_score)
+
+
 def query_fof_matrix(index: SketchIndex, fof_path: str, out: GzTextWriter,
                      batch: int = 256) -> None:
     """Matrix-formatted rows for external query files (reference's
-    query_file_of_file_whole_matrix; unreachable from its CLI but part of the
-    library surface)."""
+    query_file_of_file_whole_matrix, src/niqki_index.cpp:721-743;
+    unreachable from its CLI but part of the library surface). Entries
+    resolve from the CWD via plain getline — no length filter, unlike
+    insert fofs (the reference uses raw getline + exists_test here)."""
     write_matrix_header(out, index.names)
-    entries = list(_fof_entries(fof_path))
+    entries = [ln for ln in read_query_fof(fof_path) if exists(ln)]
     for lo in range(0, len(entries), batch):
         chunk = entries[lo:lo + batch]
-        sks = np.stack(index.sketch_files([path for _, path in chunk]))
+        sks = np.stack(index.sketch_files(chunk))
         counts = index.counts(sks)
-        for (name, _), row in zip(chunk, counts):
+        for name, row in zip(chunk, counts):
             write_matrix_row(out, name, row.tolist(), index.params.F,
                              index.params.min_score)

@@ -102,8 +102,12 @@ class SketchIndex:
         except (OSError, EOFError, zlib.error) as e:
             # Unreadable / truncated / corrupt files (including broken
             # deflate streams) are skipped like the reference skips missing
-            # fof entries — ingest keeps going.
-            dbg(f"skipping unreadable {path}: {e}")
+            # fof entries — ingest keeps going, but loudly: a silently
+            # empty sketch would make the genome match nothing (the
+            # reference aborts on broken deflate streams).
+            import sys
+            print(f"Warning: skipping unreadable file '{path}': {e}",
+                  file=sys.stderr)
             return []
 
     def _finalize_tables(self, tables) -> np.ndarray:

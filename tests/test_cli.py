@@ -137,3 +137,87 @@ def test_matrix_s16_uint16_wrap(tmp_path, capsys):
     got = gzip.open(out).read()
     assert b"\t0\t" in got or got.split(b"\n")[1].split(b"\t")[1] == b"0"
     assert got == gzip.open(FIXDIR + "/matrix_s16_tiny.gz").read()
+
+
+def test_usage_on_help_and_bare(capsys):
+    """-h / bare invocation print the reference usage[] text (to stderr,
+    like printUsage(clog)) and exit 0 (src/niqki.cpp:252-255)."""
+    assert cli.main([]) == 0
+    err = capsys.readouterr().err
+    assert "***Input***" in err and "--querylines, -q" in err
+    with pytest.raises(SystemExit) as e:
+        cli.main(["-h"])
+    assert e.value.code == 0
+    assert "***Advanced parameters***" in capsys.readouterr().err
+
+
+def test_unknown_argument_bad_usage(capsys):
+    """Non-option arguments: per-arg complaints then Bad usage!!! and
+    EXIT_FAILURE (src/niqki.cpp:275-283)."""
+    assert cli.main(["stray.fa"]) == 1
+    out = capsys.readouterr().out
+    assert "Non-option argument #0 is stray.fa" in out
+    assert "Ignoring unknown argument 'stray.fa'" in out
+    assert "Bad usage!!!" in out
+
+
+def test_missing_index_fof_message(tmp_path, capsys):
+    """-I with a missing fof: main's message, then the insert driver's
+    (basename) message, then exit(0) (src/niqki.cpp:317-319,
+    niqki_index.cpp:464-467)."""
+    rc = cli.main(["-I", str(tmp_path / "nope" / "missing.txt"),
+                   "-O", str(tmp_path / "o.gz")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("Unable to open the file") == 2
+    assert f"'{tmp_path}/nope/missing.txt'" in out
+    assert "'missing.txt'" in out
+
+
+def test_missing_query_fof_message(tmp_path, capsys):
+    """-Q with a missing fof: the message, then nonzero exit (the reference
+    crashes with an uncaught zstr exception there)."""
+    rc = cli.main(["-Q", str(tmp_path / "missing.txt"),
+                   "-O", str(tmp_path / "o.gz")])
+    assert rc == 1
+    assert "Unable to open the file" in capsys.readouterr().out
+
+
+def test_missing_load_dump_message(tmp_path, capsys):
+    rc = cli.main(["-L", str(tmp_path / "missing.bin"),
+                   "-O", str(tmp_path / "o.gz")])
+    assert rc == 1
+    assert "Unable to open the file" in capsys.readouterr().out
+
+
+def test_missing_matrix_fof_message(tmp_path, capsys):
+    rc = cli.main(["-M", str(tmp_path / "missing.txt"),
+                   "-O", str(tmp_path / "o.gz")])
+    assert rc == 0
+    assert capsys.readouterr().out.count("Unable to open the file") == 2
+
+
+def test_query_fof_matrix_library(tmp_path, monkeypatch):
+    """query_fof_matrix resolves entries from the CWD with no length filter
+    (reference query_file_of_file_whole_matrix semantics)."""
+    import numpy as np
+    from niqki_tpu import SketchIndex, SketchParams, engine
+    from niqki_tpu.io.writers import GzTextWriter
+    p = SketchParams(lF=5, K=21)
+    idx = SketchIndex(p, backend="numpy")
+    engine.insert_fof_whole(idx, FIXDIR + "/fof_tiny.txt")
+    monkeypatch.chdir(FIXDIR)
+    out_fof = tmp_path / "m1.gz"
+    with GzTextWriter(str(out_fof)) as out:
+        engine.query_fof_matrix(idx, FIXDIR + "/fof_tiny.txt", out)
+    lines = gzip.open(out_fof).read().decode().splitlines()
+    assert lines[0].startswith("##Names\t")
+    assert len(lines) == 1 + idx.G
+    # single-file variant: one row, no header
+    out_one = tmp_path / "m2.gz"
+    with GzTextWriter(str(out_one)) as out:
+        engine.query_file_matrix(idx, "tiny1.fa", out)
+    rows = gzip.open(out_one).read().decode().splitlines()
+    assert len(rows) == 1 and rows[0].startswith("tiny1.fa\t")
+    # the self-row in both outputs carries the full self-similarity 1
+    assert "\t1\t" in rows[0]

@@ -39,7 +39,10 @@ def test_download_fof_sketches_and_inserts(tmp_path, monkeypatch):
         base = url.rsplit("/", 2)[0] + "/" + url.rsplit("/", 2)[1]
         if base not in seqs:
             raise OSError("404")
-        fasta = b">contig1\n" + seqs[base] + b"\n"
+        # A trailing dummy contig: the reference's Download_NCBI only
+        # flushes a contig when it sees the NEXT '>' line, so the final
+        # contig is always dropped (mirrored by _fetch_records).
+        fasta = b">contig1\n" + seqs[base] + b"\n>trailer\nACGT\n"
         return FakeResp(gzip.compress(fasta))
 
     monkeypatch.setattr(downloader.urllib.request, "urlopen", fake_urlopen)
@@ -55,4 +58,45 @@ def test_download_fof_sketches_and_inserts(tmp_path, monkeypatch):
     # sketches match direct sketching of the same sequences
     from niqki_tpu import oracle
     want = oracle.sketch_records([seqs["https://x/acc1"]], p)
+    assert np.array_equal(idx.matrix()[0], want)
+
+
+def test_download_reference_flush_quirks(tmp_path, monkeypatch):
+    """Reference Download_NCBI quirks (src/niqki_index.cpp:810-827): the
+    final contig is dropped (single-contig accessions sketch nothing and
+    are skipped), and a contig of length <= K is not cleared — its bases
+    prepend the next contig."""
+    rng = np.random.default_rng(1)
+    long1 = rng.choice(list(b"ACGT"), 300).astype(np.uint8).tobytes()
+    long2 = rng.choice(list(b"ACGT"), 400).astype(np.uint8).tobytes()
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(url, timeout=None):
+        base = url.rsplit("/", 2)[0] + "/" + url.rsplit("/", 2)[1]
+        if base.endswith("single"):
+            return FakeResp(gzip.compress(b">only\n" + long1 + b"\n"))
+        # short contig (<= K) bleeds into the next one
+        return FakeResp(gzip.compress(
+            b">a\n" + long1 + b"\n>short\nACGTACGT\n>b\n" + long2 +
+            b"\n>trailer\nAC\n"))
+
+    monkeypatch.setattr(downloader.urllib.request, "urlopen", fake_urlopen)
+    fof = tmp_path / "urls.txt"
+    fof.write_text("https://x/single\nhttps://x/multi\n")
+    p = SketchParams(lF=5, K=21)
+    idx = SketchIndex(p, backend="numpy")
+    genomes, bases = downloader.download_ncbi_fof(idx, str(fof),
+                                                  max_workers=1)
+    # 'single' contributes nothing; 'multi' flushes long1 and then
+    # (short + long2) as ONE contig; the trailer is dropped.
+    assert genomes == 1 and idx.names == ["https://x/multi"]
+    assert bases == 300 + 8 + 400
+    from niqki_tpu import oracle
+    want = oracle.sketch_records([long1, b"ACGTACGT" + long2], p)
     assert np.array_equal(idx.matrix()[0], want)
