@@ -505,7 +505,37 @@ int64_t nq_scan_dump_sizes(const uint32_t* words, int64_t n_words,
   return pos <= n_words ? total : -1;
 }
 
+// Incremental variant of nq_scan_dump_sizes for STREAMING dump loads:
+// consumes an arbitrary chunk of the bucket stream, carrying (current
+// bucket, gids remaining in it) across calls, and emits the chunk's
+// (gid, bucket) assignments. Returns the number of pairs emitted, or -1
+// once more buckets than n_buckets appear (corrupt stream). The caller
+// stops feeding words when *state_bucket == n_buckets; any words beyond
+// that point belong to the name blob.
+int64_t nq_scan_dump_stream(const uint32_t* words, int64_t n_words,
+                            int64_t n_buckets, int64_t* state_bucket,
+                            int64_t* state_remaining, int64_t* consumed,
+                            uint32_t* out_gids, int64_t* out_buckets) {
+  int64_t k = *state_bucket, r = *state_remaining, out = 0, i = 0;
+  for (; i < n_words; ++i) {
+    if (r == 0) {
+      if (k >= n_buckets) break;  // word i starts the name blob
+      r = (int64_t)words[i];
+      if (r == 0) ++k;   // empty bucket: done immediately
+    } else {
+      out_gids[out] = words[i];
+      out_buckets[out] = k;
+      ++out;
+      if (--r == 0) ++k;
+    }
+  }
+  *state_bucket = k;
+  *state_remaining = r;
+  *consumed = i;
+  return out;
+}
+
 // Version tag so the Python wrapper can detect ABI drift.
-int64_t nq_abi_version() { return 3; }
+int64_t nq_abi_version() { return 4; }
 
 }  // extern "C"

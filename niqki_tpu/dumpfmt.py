@@ -44,53 +44,69 @@ class DumpHeader:
         )
 
 
-def load_dump(path: str):
+def load_dump(path: str, chunk_words: int = 1 << 24):
     """Parse a NIQKI dump into (header, fingerprint_matrix, names).
 
     fingerprint_matrix is int32 of shape (G, F); slots where a genome id never
     appears (impossible for reference-produced, fully densified indexes) stay
     -1.
+
+    The gzip stream is consumed in ``chunk_words`` pieces through the native
+    incremental scanner, so peak memory is the (G, F) matrix plus one chunk —
+    NOT the decompressed dump (which is ~(1 + G/2^W) * F * 2^W words: far
+    larger than the matrix whenever buckets outnumber genomes). Falls back to
+    a whole-buffer parse when the native library is absent.
     """
-    with gzip.open(path, "rb") as f:
-        data = f.read()
-    lF, K, H, W, min_score, G = struct.unpack_from("<6I", data, 0)
-    hdr = DumpHeader(lF, K, H, W, min_score, G)
-    F = 1 << lF
-    fr = 1 << W
-    n_buckets = F * fr
-    words = np.frombuffer(data, dtype="<u4", offset=24,
-                          count=(len(data) - 24) // 4)
-    # The stream interleaves [size][gid...] with data-dependent strides, so
-    # recovering the per-bucket sizes is inherently one sequential hop over
-    # all 2^(S+W) buckets (134M at defaults): the native scanner does the
-    # pass in C; the Python loop is the fallback when it is not built.
-    w = words
     from . import native
-    if native.available():
-        sizes = native.scan_dump_sizes(w, n_buckets).astype(np.int64)
-        pos = n_buckets + int(sizes.sum())
-    else:
-        sizes = np.empty(n_buckets, dtype=np.int64)
-        pos = 0
-        for k in range(n_buckets):
-            s = int(w[pos])
-            sizes[k] = s
-            pos += 1 + s
-    total = int(sizes.sum())
-    starts = np.zeros(n_buckets, dtype=np.int64)
-    np.cumsum(sizes[:-1], out=starts[1:])
-    size_word_pos = starts + np.arange(n_buckets, dtype=np.int64)
-    # gid word positions: for gid j (0-based among all gids, in stream order),
-    # it sits at j + (bucket index of j) + 1.
-    bucket_of_gid = np.repeat(np.arange(n_buckets, dtype=np.int64), sizes)
-    gid_words = w[np.arange(total, dtype=np.int64) + bucket_of_gid + 1]
-    del size_word_pos
-    sk = np.full((G, F), -1, dtype=np.int32)
-    slot = bucket_of_gid // fr
-    fp = bucket_of_gid % fr
-    sk[gid_words.astype(np.int64), slot] = fp.astype(np.int32)
-    names_off = 24 + 4 * (pos)
-    names = data[names_off:].decode("utf-8", errors="replace").split("\n")[:G]
+    with gzip.open(path, "rb") as f:
+        head = f.read(24)
+        lF, K, H, W, min_score, G = struct.unpack_from("<6I", head, 0)
+        hdr = DumpHeader(lF, K, H, W, min_score, G)
+        F = 1 << lF
+        fr = 1 << W
+        n_buckets = F * fr
+        sk = np.full((G, F), -1, dtype=np.int32)
+        if native.available():
+            scanner = native.DumpStreamScanner(n_buckets)
+            tail = b""
+            name_blob = []
+            while True:
+                data = f.read(4 * chunk_words)
+                if not data:
+                    break
+                if scanner.done:
+                    name_blob.append(data)
+                    continue
+                data = tail + data
+                usable = len(data) // 4 * 4
+                tail = data[usable:]
+                words = np.frombuffer(data, dtype="<u4", count=usable // 4)
+                gids, buckets, consumed = scanner.feed(words)
+                if len(gids):
+                    sk[gids.astype(np.int64), buckets // fr] = \
+                        (buckets % fr).astype(np.int32)
+                if consumed < len(words):
+                    name_blob.append(data[4 * consumed:])
+                    tail = b""
+            names_raw = (tail + b"".join(name_blob))
+        else:
+            data = f.read()
+            words = np.frombuffer(data, dtype="<u4", count=len(data) // 4)
+            sizes = np.empty(n_buckets, dtype=np.int64)
+            pos = 0
+            for k in range(n_buckets):
+                s = int(words[pos])
+                sizes[k] = s
+                pos += 1 + s
+            total = int(sizes.sum())
+            bucket_of_gid = np.repeat(
+                np.arange(n_buckets, dtype=np.int64), sizes)
+            gid_words = words[np.arange(total, dtype=np.int64)
+                              + bucket_of_gid + 1]
+            sk[gid_words.astype(np.int64), bucket_of_gid // fr] = \
+                (bucket_of_gid % fr).astype(np.int32)
+            names_raw = data[4 * pos:]
+    names = names_raw.decode("utf-8", errors="replace").split("\n")[:G]
     return hdr, sk, names
 
 

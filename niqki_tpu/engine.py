@@ -85,10 +85,10 @@ def query_file_lines(index: SketchIndex, path: str, out: GzTextWriter,
             else:
                 write_binary_hits(out, header, hits)
         return
-    recs = index._load_packed_with_headers(path)
-    for lo in range(0, len(recs), batch):
-        part = recs[lo:lo + batch]
-        sks = index.sketch_packed_records([r[1:] for r in part])
+    # Streamed with bounded memory (two record chunks in flight), counts
+    # batched one device call per chunk; rows stream in file order.
+    for part, sks in index._sketch_stream(
+            index._iter_packed_with_headers(path), batch):
         counts = index.counts(np.stack(sks)) if sks else []
         for r, c in zip(part, counts):
             hits = index.hits_from_counts(c)

@@ -88,9 +88,17 @@ def _load():
         np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
         ctypes.c_int64, ctypes.c_int64,
         np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")]
+    lib.nq_scan_dump_stream.restype = ctypes.c_int64
+    lib.nq_scan_dump_stream.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
     lib.nq_abi_version.restype = ctypes.c_int64
     lib.nq_abi_version.argtypes = []
-    if lib.nq_abi_version() != 3:
+    if lib.nq_abi_version() != 4:
         return None
     _lib = lib
     return _lib
@@ -205,6 +213,37 @@ def scan_dump_sizes(words: np.ndarray, n_buckets: int) -> np.ndarray:
     if total < 0:
         raise ValueError("truncated dump bucket stream")
     return sizes
+
+
+class DumpStreamScanner:
+    """Incremental scanner over a NIQKI dump's [size][gids...] bucket
+    stream: feed uint32 word chunks, get (gids, buckets, consumed) back;
+    `done` flips once all n_buckets are consumed (remaining words = names).
+    """
+
+    def __init__(self, n_buckets: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.n_buckets = n_buckets
+        self._bucket = ctypes.c_int64(0)
+        self._remaining = ctypes.c_int64(0)
+
+    @property
+    def done(self) -> bool:
+        return self._bucket.value >= self.n_buckets
+
+    def feed(self, words: np.ndarray):
+        words = np.ascontiguousarray(words, np.uint32)
+        gids = np.empty(len(words), np.uint32)
+        buckets = np.empty(len(words), np.int64)
+        consumed = ctypes.c_int64(0)
+        n = self._lib.nq_scan_dump_stream(
+            words, len(words), self.n_buckets,
+            ctypes.byref(self._bucket), ctypes.byref(self._remaining),
+            ctypes.byref(consumed), gids, buckets)
+        return gids[:n], buckets[:n], consumed.value
 
 
 def sketch_codes_cpu(eff_fwd: np.ndarray, eff_rc: np.ndarray,

