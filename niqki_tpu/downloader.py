@@ -23,7 +23,16 @@ from .index import SketchIndex
 
 
 def name_of_accession_url(url: str) -> str:
-    return url.rstrip("/").rsplit("/", 1)[-1]
+    """Exactly get_name_ncbi (src/niqki_index.cpp:789-798): the name starts
+    after the last '/' found at positions [0, len-4] — a slash within the
+    final 3 characters is never seen, so a trailing-slash URL keeps it and
+    yields the same broken fetch URL (and thus skipped accession) as the
+    reference."""
+    last = 0   # reference inits lastposition=0: a slash-free URL drops char 0
+    for i in range(max(len(url) - 3, 0)):
+        if url[i] == "/":
+            last = i
+    return url[last + 1:]
 
 
 def _fetch_records(url: str, K: int, timeout: float):

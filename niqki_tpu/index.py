@@ -415,7 +415,8 @@ class SketchIndex:
 
     # ------------------------------------------------------------------
     # persistence: native sharded checkpoint (one npz per genome range)
-    def save_sharded(self, directory: str, num_shards: int = 1) -> None:
+    def save_sharded(self, directory: str, num_shards: int = 1,
+                     compress: bool = True) -> None:
         os.makedirs(directory, exist_ok=True)
         mat = self.matrix()
         bounds = np.linspace(0, self.G, num_shards + 1).astype(int)
@@ -432,10 +433,11 @@ class SketchIndex:
             "genomes": self.G,
             "shards": [],
         }
+        save = np.savez_compressed if compress else np.savez
         for s in range(num_shards):
             lo, hi = int(bounds[s]), int(bounds[s + 1])
             fn = f"shard_{s:05d}.npz"
-            np.savez_compressed(
+            save(
                 os.path.join(directory, fn),
                 sketches=mat[lo:hi],
                 names=np.array(self.names[lo:hi], dtype=object),

@@ -10,13 +10,41 @@ from niqki_tpu.index import SketchIndex
 from niqki_tpu.params import SketchParams
 
 
-def test_name_of_accession_url():
+def test_name_of_accession_url_matches_get_name_ncbi():
+    """Differential vs get_name_ncbi (src/niqki_index.cpp:789-798): the
+    reference's scan stops 3 chars early, so trailing slashes survive into
+    the name (broken fetch URL -> skipped accession, both engines)."""
     url = ("https://ftp.ncbi.nlm.nih.gov/genomes/all/GCF/000/005/845/"
            "GCF_000005845.2_ASM584v2")
     assert downloader.name_of_accession_url(url) == \
         "GCF_000005845.2_ASM584v2"
+    # trailing-slash quirk: the final '/' is never seen by the scan
     assert downloader.name_of_accession_url(url + "/") == \
-        "GCF_000005845.2_ASM584v2"
+        "GCF_000005845.2_ASM584v2/"
+
+    def get_name_ncbi_model(s):
+        # direct transliteration of the C++ (uint scan bound size()-3,
+        # lastposition inits 0 then ++)
+        lastposition = 0
+        i = 0
+        while i + 3 < len(s):
+            if s[i] == "/":
+                lastposition = i
+            i += 1
+        lastposition += 1
+        return s[lastposition:]
+
+    rng = np.random.default_rng(0)
+    parts = ["GCF_000", "a", "x/y", "", "845", "ASM584v2", "ftp.x.gov"]
+    for _ in range(200):
+        n = int(rng.integers(1, 6))
+        u = "/".join(str(parts[i]) for i in rng.integers(0, len(parts), n))
+        u = ("https://" if rng.integers(2) else "") + u + \
+            ("/" if rng.integers(2) else "")
+        if len(u) < 4:
+            continue
+        assert downloader.name_of_accession_url(u) == \
+            get_name_ncbi_model(u), u
 
 
 def test_download_fof_sketches_and_inserts(tmp_path, monkeypatch):

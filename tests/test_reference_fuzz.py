@@ -37,16 +37,25 @@ def ref_binary(tmp_path_factory):
     return exe
 
 
-def _make_genomes(tmp_path, seed, n_files=3):
+def _make_genomes(tmp_path, seed, n_files=3, min_len=400, max_len=3000,
+                  gzipped=False, cols=0):
+    """Random single-record FASTA files; optionally gzip-compressed and/or
+    wrapped at ``cols`` columns (multi-line records)."""
     rng = np.random.default_rng(seed)
     alphabet = np.frombuffer(b"ACGTACGTACGTNacgt", dtype=np.uint8)
     paths = []
     for i in range(n_files):
-        n = int(rng.integers(400, 3000))
+        n = int(rng.integers(min_len, max_len))
         seq = rng.choice(alphabet, n).tobytes().decode()
-        p = tmp_path / f"g{i}.fa"
-        p.write_text(f">g{i}\n{seq}\n")
-        paths.append(p.name)
+        if cols:
+            seq = "\n".join(seq[j:j + cols] for j in range(0, len(seq), cols))
+        name = f"g{i}.fa" + (".gz" if gzipped else "")
+        body = f">g{i}\n{seq}\n"
+        if gzipped:
+            (tmp_path / name).write_bytes(gzip.compress(body.encode()))
+        else:
+            (tmp_path / name).write_text(body)
+        paths.append(name)
     fof = tmp_path / "fof.txt"
     fof.write_text("".join(f"{p}\n" for p in paths))
     return fof
@@ -66,6 +75,7 @@ CASES = [
     ["-S", "6", "-K", "21", "-J", "0.4"],          # reporting threshold
     ["-S", "5", "-K", "5"],                        # tiny k-mers
     ["-S", "5", "-K", "21", "-W", "16", "-H", "4"],  # W>14: int32 count path
+    ["-S", "6", "-K", "21", "-W", "8", "-H", "3"],   # lF<=7: uint8 counters
 ]
 
 
@@ -137,7 +147,7 @@ def test_dump_load_roundtrip_parity(ref_binary, tmp_path):
 @pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize(
     "case", CASES,
-    ids=["s6", "w14h6", "w10h2", "gtune", "minjac", "k5", "w16"])
+    ids=["s6", "w14h6", "w10h2", "gtune", "minjac", "k5", "w16", "w8"])
 def test_matrix_and_hits_parity(ref_binary, tmp_path, seed, case):
     fof = _make_genomes(tmp_path, seed * 7919 + len(case))
     _run_ref(ref_binary, ["-M", "fof.txt", "-O", "ref_m.gz"] + case,
@@ -156,6 +166,79 @@ def test_matrix_and_hits_parity(ref_binary, tmp_path, seed, case):
     try:
         rc = cli.main(["-I", str(fof), "-Q", str(fof),
                        "-O", str(tmp_path / "our_h.gz")] + case)
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    assert gzip.open(tmp_path / "our_h.gz").read() == \
+        gzip.open(tmp_path / "ref_h.gz").read()
+
+
+def test_gzipped_multiline_parity(ref_binary, tmp_path):
+    """Gzip-compressed, 60-column multi-line FASTA inputs (the common NCBI
+    shape) through both engines — matrix + hits byte parity."""
+    fof = _make_genomes(tmp_path, 4242, n_files=5, gzipped=True, cols=60)
+    case = ["-S", "6", "-K", "21"]
+    _run_ref(ref_binary, ["-M", "fof.txt", "-O", "ref_m.gz"] + case,
+             tmp_path)
+    rc = cli.main(["-M", str(fof), "-O", str(tmp_path / "our_m.gz")] + case)
+    assert rc == 0
+    assert gzip.open(tmp_path / "our_m.gz").read() == \
+        gzip.open(tmp_path / "ref_m.gz").read()
+
+
+@pytest.mark.parametrize("S", [12, 13])
+def test_bigger_genomes_high_S_parity(ref_binary, tmp_path, S):
+    """S=12/13 with 20-60 kb genomes: the defaults-adjacent regime the
+    small fuzz families never reach (single seed, bigger sequences)."""
+    fof = _make_genomes(tmp_path, 31337 + S, n_files=3,
+                        min_len=20_000, max_len=60_000)
+    case = ["-S", str(S), "-K", "31"]
+    _run_ref(ref_binary, ["-M", "fof.txt", "-O", "ref_m.gz"] + case,
+             tmp_path)
+    rc = cli.main(["-M", str(fof), "-O", str(tmp_path / "our_m.gz")] + case)
+    assert rc == 0
+    assert gzip.open(tmp_path / "our_m.gz").read() == \
+        gzip.open(tmp_path / "ref_m.gz").read()
+
+
+def test_fastq_whole_file_parity(ref_binary, tmp_path):
+    """Whole-file mode on single-record FASTQ files (the reference's
+    Biogetline 4-line branch; safe from the multi-record FASTA hang)."""
+    rng = np.random.default_rng(777)
+    alphabet = np.frombuffer(b"ACGTNacgt", dtype=np.uint8)
+    names = []
+    for i in range(4):
+        n = int(rng.integers(500, 2500))
+        seq = rng.choice(alphabet, n).tobytes().decode()
+        name = f"q{i}.fq"
+        (tmp_path / name).write_text(f"@q{i}\n{seq}\n+\n{'I' * n}\n")
+        names.append(name)
+    fof = tmp_path / "fof.txt"
+    fof.write_text("".join(f"{p}\n" for p in names))
+    case = ["-S", "6", "-K", "21"]
+    _run_ref(ref_binary, ["-M", "fof.txt", "-O", "ref_m.gz"] + case,
+             tmp_path)
+    rc = cli.main(["-M", str(fof), "-O", str(tmp_path / "our_m.gz")] + case)
+    assert rc == 0
+    assert gzip.open(tmp_path / "our_m.gz").read() == \
+        gzip.open(tmp_path / "ref_m.gz").read()
+
+
+def test_load_with_G_parity(ref_binary, tmp_path):
+    """-L + -G combined: auto-tuning H on a LOADED index (stale-constant
+    quirk applied post-load) must answer queries identically."""
+    fof = _make_genomes(tmp_path, 555)
+    base = ["-S", "8", "-K", "21"]
+    _run_ref(ref_binary, ["-I", "fof.txt", "-D", "ref.dump",
+                          "-O", "n1.gz"] + base, tmp_path)
+    _run_ref(ref_binary, ["-L", "ref.dump", "-G", "5000", "-Q", "fof.txt",
+                          "-O", "ref_h.gz"], tmp_path)
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = cli.main(["-L", "ref.dump", "-G", "5000", "-Q", "fof.txt",
+                       "-O", str(tmp_path / "our_h.gz")])
     finally:
         os.chdir(cwd)
     assert rc == 0
