@@ -362,11 +362,12 @@ class SketchIndex:
         if os.environ.get("NIQKI_TPU_NO_PCOUNT"):
             mode = "xla"
         interp = mode == "bcount-interpret"
-        # auto prefers the pair-packed pcount kernel (fastest measured);
-        # bcount covers the W > 14 shapes pcount cannot.
+        # auto prefers the bit-plane bcount kernel (fastest measured: 509
+        # q/s vs pcount's ~460 at G=100k F=32768 on v5e, (W+1)/16 the HBM
+        # bytes, and it covers W > 14); pcount is the fallback when
+        # bcount's F % 4096 gate fails.
         want_b = mode in ("bcount", "bcount-interpret") or (
-            mode == "auto" and self.G >= 4096
-            and not (p.W <= 14 and pcount.available(p.F)))
+            mode == "auto" and self.G >= 4096)
         if want_b and p.F % 4096 == 0 and 1 <= p.W <= 30 \
                 and (interp or bcount.available(p.F, p.W)):
             if self._device_planes is None:

@@ -32,8 +32,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_G = 128        # index rows per output tile (lane dim of the count tile)
-BLOCK_Q = 32        # queries per kernel launch (sublane dim, 8-aligned)
+TILE_G = 128        # index rows per x tile (sublane dim; also count lanes)
+BLOCK_Q = 96        # queries per kernel launch (amortizes the per-tile DMA;
+                    # measured optimum on v5e — 509 q/s vs 373 at 32)
 CHUNK_LANES = 512   # packed u32 lanes per F-chunk (16384 fingerprints)
 
 
@@ -53,16 +54,17 @@ def _pack_bits(b):
 
 @functools.partial(jax.jit, static_argnames=("W", "query"))
 def pack_bitplanes(mat, *, W: int, query: bool):
-    """(N, F) int fingerprints -> (W+1, F/32, N) uint32 bit-planes.
+    """(N, F) int fingerprints -> (W+1, N, F/32) uint32 bit-planes.
 
     Plane p < W = bit p of the value; plane W = 1 iff the slot is invalid
     (empty/out-of-range). Invalid value planes are all-0 on the stored side
     and all-1 on the query side, so invalid never matches invalid.
 
-    The layout is TRANSPOSED (packed-f axis on sublanes, rows on lanes): the
-    kernel reduces over f, and a sublane reduction lands lane-aligned with
-    the (query, row) count tile — the row-major layout costs a vector
-    transpose per query per tile (measured 5x slower end-to-end).
+    Row-major (rows on sublanes, packed-f on LANES): Mosaic issues the
+    elementwise xor/and chain ~2x faster over long lane vectors than over
+    the transposed (f-sublane) layout, and the lane reduction + row write
+    per query is cheap (measured on v5e; the transposed variant and a
+    register-blocked fori_loop variant both lose).
     """
     m = mat.astype(jnp.int32)
     valid = (m >= 0) & (m < (1 << W))
@@ -70,7 +72,7 @@ def pack_bitplanes(mat, *, W: int, query: bool):
     v = jnp.where(valid, m, fill).astype(jnp.uint32)
     planes = [_pack_bits((v >> np.uint32(p)) & np.uint32(1)) for p in range(W)]
     planes.append(_pack_bits(jnp.where(valid, 0, 1).astype(jnp.uint32)))
-    return jnp.stack(planes).transpose(0, 2, 1)
+    return jnp.stack(planes)
 
 
 # ---------------------------------------------------------------------------
@@ -84,20 +86,20 @@ def _bcount_kernel(qb: int, P: int):
 
         for qi in range(qb):
             # XNOR(x, q) == x ^ ~q; ~q folded in here (2 ops per plane).
-            # q slices are (cl, 1): lane-broadcast against the (cl, TILE_G)
-            # x planes (a register splat, the cheap broadcast direction).
-            m = x_ref[0] ^ ~q_ref[0, :, qi:qi + 1]
+            # q slices are (1, cl): sublane-broadcast against the
+            # (TILE_G, cl) x planes.
+            m = x_ref[0] ^ ~q_ref[0, qi:qi + 1, :]
             for p in range(1, P):
-                m &= x_ref[p] ^ ~q_ref[p, :, qi:qi + 1]
+                m &= x_ref[p] ^ ~q_ref[p, qi:qi + 1, :]
             pc = jax.lax.population_count(m).astype(jnp.int32)
-            o_ref[qi, :] += jnp.sum(pc, axis=0)   # sublane reduce
+            o_ref[qi, :] += jnp.sum(pc, axis=1)   # lane reduce
     return kern
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _bcount_call(qp, xp, *, interpret: bool = False):
-    P, L, Qb = qp.shape            # L = F/32 packed lanes (sublane axis)
-    G = xp.shape[2]
+    P, Qb, L = qp.shape            # L = F/32 packed lanes
+    G = xp.shape[1]
     cl = min(CHUNK_LANES, L)
     assert L % cl == 0 and G % TILE_G == 0
     grid = (G // TILE_G, L // cl)
@@ -105,9 +107,9 @@ def _bcount_call(qp, xp, *, interpret: bool = False):
         _bcount_kernel(Qb, P),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((P, cl, Qb), lambda g, f: (0, f, 0),
+            pl.BlockSpec((P, Qb, cl), lambda g, f: (0, 0, f),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, cl, TILE_G), lambda g, f: (0, f, g),
+            pl.BlockSpec((P, TILE_G, cl), lambda g, f: (0, g, f),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Qb, TILE_G), lambda g, f: (0, g),
@@ -140,7 +142,7 @@ def pad_rows(mat16: np.ndarray, tile: int = TILE_G) -> np.ndarray:
 
 
 def build_index_planes(mat: np.ndarray, W: int, row_chunk: int = 16384):
-    """(G, F) host int matrix -> (W+1, F/32, Gp) uint32 device bit-planes.
+    """(G, F) host int matrix -> (W+1, Gp, F/32) uint32 device bit-planes.
 
     Rows are shipped and packed in chunks so peak HBM overhead stays at one
     chunk of the unpacked int32 form.
@@ -149,21 +151,21 @@ def build_index_planes(mat: np.ndarray, W: int, row_chunk: int = 16384):
     chunks = [pack_bitplanes(jnp.asarray(m[lo:lo + row_chunk]), W=W,
                              query=False)
               for lo in range(0, m.shape[0], row_chunk)]
-    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=2)
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
     return jax.block_until_ready(out)
 
 
 def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
                         interpret: bool = False) -> jnp.ndarray:
     """counts (Q, G) int32 of host queries q_np (Q, F) against pre-packed
-    device bit-planes xp (W+1, F/32, Gp)."""
+    device bit-planes xp (W+1, Gp, F/32)."""
     q = np.asarray(q_np, np.int32)
     Q, F = q.shape
     Qp = -(-Q // BLOCK_Q) * BLOCK_Q
     if Qp != Q:
         q = np.vstack([q, np.full((Qp - Q, F), -3, np.int32)])
     qp = pack_bitplanes(jnp.asarray(q), W=W, query=True)
-    outs = [_bcount_call(qp[:, :, lo:lo + BLOCK_Q], xp, interpret=interpret)
+    outs = [_bcount_call(qp[:, lo:lo + BLOCK_Q], xp, interpret=interpret)
             for lo in range(0, Qp, BLOCK_Q)]
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return out[:Q, :G]

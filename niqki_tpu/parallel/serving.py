@@ -61,18 +61,18 @@ class ShardedIndex:
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self._interpret = interpret
-        # Per-shard kernel choice mirrors SketchIndex.counts: pair-packed
-        # pcount (fastest measured) when its int16 gate holds, bit-plane
-        # bcount for the W > 14 shapes, dense XLA compare for small indexes.
+        # Per-shard kernel choice mirrors SketchIndex.counts: bit-plane
+        # bcount (fastest measured) when its shape gate holds, pair-packed
+        # pcount as fallback for W<=14, dense XLA compare for small indexes.
         big = self.G >= 4096 or interpret
         from ..ops import pcount
-        if big and p.W <= 14 and p.F % 256 == 0 and (p.F // 2) % min(
+        if big and p.F % 4096 == 0 and 1 <= p.W <= 30:
+            self._kernel = "planes"
+            row_align = self._tp * bcount.TILE_G
+        elif big and p.W <= 14 and p.F % 256 == 0 and (p.F // 2) % min(
                 pcount.CHUNK_LANES, p.F // 2) == 0:
             self._kernel = "packed"
             row_align = self._tp * pcount.TILE_G
-        elif big and p.F % 4096 == 0 and 1 <= p.W <= 30:
-            self._kernel = "planes"
-            row_align = self._tp * bcount.TILE_G
         else:
             self._kernel = "dense"
             row_align = self._tp
@@ -95,12 +95,12 @@ class ShardedIndex:
             self._planes = jax.jit(
                 bcount.pack_bitplanes,
                 static_argnames=("W", "query"),
-                out_shardings=NamedSharding(mesh, P(None, None, "tp")),
+                out_shardings=NamedSharding(mesh, P(None, "tp", None)),
             )(mat_dev, W=p.W, query=False)
             self._count = sharded_count_planes(mesh, interpret=interpret)
             self._qpack = jax.jit(
                 bcount.pack_bitplanes, static_argnames=("W", "query"),
-                out_shardings=NamedSharding(mesh, P(None, None, "dp")))
+                out_shardings=NamedSharding(mesh, P(None, "dp", None)))
         else:
             self._mat = jax.device_put(
                 mat, NamedSharding(mesh, P("tp", None)))

@@ -101,7 +101,7 @@ def sharded_count_planes(mesh: Mesh, interpret: bool = False):
     """Bit-plane Pallas count under shard_map: the production multi-chip
     query kernel (ops/bcount per index shard).
 
-    Returns a jitted fn(qp (P, L, Q), xp (P, L, Gp)) -> counts (Q, Gp) with
+    Returns a jitted fn(qp (P, Q, L), xp (P, Gp, L)) -> counts (Q, Gp) with
     the query block axis sharded on 'dp', index rows on 'tp', output on both.
     Q must be a dp*BLOCK_Q multiple and Gp a tp*TILE_G multiple (callers pad
     with the never-matching sentinel planes).
@@ -109,15 +109,15 @@ def sharded_count_planes(mesh: Mesh, interpret: bool = False):
     from ..ops.bcount import BLOCK_Q, _bcount_call
 
     def per_shard(qp, xp):
-        Qs = qp.shape[2]
-        outs = [_bcount_call(qp[:, :, lo:lo + BLOCK_Q], xp,
+        Qs = qp.shape[1]
+        outs = [_bcount_call(qp[:, lo:lo + BLOCK_Q], xp,
                              interpret=interpret)
                 for lo in range(0, Qs, BLOCK_Q)]
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     fn = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(None, None, "dp"), P(None, None, "tp")),
+        in_specs=(P(None, "dp", None), P(None, "tp", None)),
         out_specs=P("dp", "tp"),
         check_vma=False,
     )

@@ -21,12 +21,12 @@ def test_pack_bitplanes_roundtrip():
     m = rng.integers(0, 1 << W, size=(4, 4096), dtype=np.int32)
     planes = np.asarray(bcount.pack_bitplanes(jnp.asarray(m), W=W,
                                               query=False))
-    assert planes.shape == (W + 1, 128, 4)   # (planes, packed-f, rows)
+    assert planes.shape == (W + 1, 4, 128)   # (planes, rows, packed-f)
     # reconstruct values from the planes
     rec = np.zeros_like(m)
     for p in range(W):
         for f in range(m.shape[1]):
-            rec[:, f] |= (((planes[p][f // 32, :] >> (f % 32)) & 1)
+            rec[:, f] |= (((planes[p][:, f // 32] >> (f % 32)) & 1)
                           << p).astype(np.int32)
     np.testing.assert_array_equal(rec, m)
     assert not planes[W].any()  # all valid
