@@ -132,36 +132,48 @@ def main():
                       "vs_baseline_1thread": round(mbps / 25.0, 1),
                       "vs_baseline_64core": round(mbps / 1600.0, 2)}))
 
-    # --- synthetic 100k-genome index --------------------------------------
-    from niqki_tpu.ops import pcount
-    G, F = args.genomes, p.F
-    Gp = -(-G // pcount.TILE_G) * pcount.TILE_G
-    log(f"building synthetic index G={G} F={F} (int16 pair-packed, "
-        f"{Gp*F*2/1e9:.1f} GB HBM)...")
+    # --- synthetic 100k-genome index (bit-plane kernel, the auto route) ---
+    from niqki_tpu.ops import bcount
+    G, F, W = args.genomes, p.F, p.W
+    Gp = -(-G // bcount.TILE_G) * bcount.TILE_G
+    L = F // 32
+    log(f"building synthetic index G={G} F={F} ({(W+1)} bit-planes, "
+        f"{(W+1)*Gp*L*4/1e9:.1f} GB HBM)...")
 
     @jax.jit
     def synth(key):
-        # Directly in the count kernel's wire format: each int32 lane packs
-        # two W-bit fingerprints (no int16/int32 intermediates, no repack).
-        bits = jax.random.bits(key, (Gp, F // 2), dtype=jnp.uint32)
-        mask = (p.fingerprint_range - 1) | ((p.fingerprint_range - 1) << 16)
-        return (bits & mask).astype(jnp.int32)
+        # Directly in the count kernel's wire format: W random value planes
+        # plus an all-valid sentinel plane.
+        bits = jax.random.bits(key, (W, Gp, L), dtype=jnp.uint32)
+        return jnp.concatenate([bits, jnp.zeros((1, Gp, L), jnp.uint32)], 0)
 
-    gp = synth(jax.random.PRNGKey(0))
-    gp.block_until_ready()
+    xp = synth(jax.random.PRNGKey(0))
+    xp.block_until_ready()
 
     qs = np.stack(sks)  # 9 real sketches
     reps_q = max(1, args.queries // len(qs))
-    qnp = np.tile(qs, (reps_q, 1)).astype(np.int16)
+    qnp = np.tile(qs, (reps_q, 1)).astype(np.int32)
     Q = qnp.shape[0]
+    Qp = -(-Q // bcount.BLOCK_Q) * bcount.BLOCK_Q
 
-    def count_hits(q_np, thresh=1638):  # J=0.05 at F=32768
+    @jax.jit
+    def count_hits_dev(q, planes, thresh=1638):  # J=0.05 at F=32768
         # Counts + threshold reduce stay on device; only (Q,) hit totals
-        # cross back (materialized to host so the timing is honest — the
-        # transport's block_until_ready can return before execution).
-        c = pcount.match_counts_packed(q_np, gp, G)
-        import jax.numpy as jnp2
-        return np.asarray((c >= thresh).sum(axis=1, dtype=jnp2.int32))
+        # cross back (the transport's d2h is ~15 MB/s — never ship (Q,G)).
+        # planes is an ARGUMENT: closing over it would bake 5.3 GB into
+        # the lowered module as a constant.
+        qp = bcount.pack_bitplanes(q, W=W, query=True)
+        outs = [bcount._bcount_call(qp[:, lo:lo + bcount.BLOCK_Q], planes)
+                for lo in range(0, Qp, bcount.BLOCK_Q)]
+        c = jnp.concatenate(outs, axis=0)
+        return (c >= thresh).sum(axis=1, dtype=jnp.int32)
+
+    def count_hits(q_np):
+        # int16 wire: fingerprints are W<=14 bits, halving the query h2d
+        # (the tunnel's ~46 MB/s h2d is the dominant cost at this Q).
+        q = np.full((Qp, F), -3, np.int16)
+        q[:len(q_np)] = q_np
+        return np.asarray(count_hits_dev(jnp.asarray(q), xp))
 
     # warm with a DIFFERENT batch (transport caches identical inputs)
     count_hits(np.roll(qnp, 1, axis=0) ^ 1)
@@ -178,10 +190,22 @@ def main():
     # and host-side hit formatting dominates (degenerate workload).
     idx2 = SketchIndex(SketchParams(min_fract=0.05))
     idx2.names = [f"g{i}" for i in range(G)]
+
+    @jax.jit
+    def nine_counts(q, planes):
+        qp = bcount.pack_bitplanes(q, W=W, query=True)
+        return bcount._bcount_call(qp, planes)[:9, :G]  # slice pre-d2h
+
+    def q_block(sketches):
+        q = np.full((bcount.BLOCK_Q, F), -3, np.int32)
+        q[:9] = np.stack(sketches)
+        return jnp.asarray(q)
+
+    # warm the compile with a different file order (fresh device bytes)
+    np.asarray(nine_counts(q_block(
+        idx2.sketch_files(list(reversed(paths)))), xp))
     t0 = time.time()
-    sks2 = idx2.sketch_files(list(reversed(paths)))
-    counts = np.asarray(pcount.match_counts_packed(
-        np.stack(sks2).astype(np.int16), gp, G))
+    counts = np.asarray(nine_counts(q_block(idx2.sketch_files(paths)), xp))
     hits = [idx2.hits_from_counts(c) for c in counts]
     dt = time.time() - t0
     print(json.dumps({"metric": f"e2e_query_per_s_G{G}",

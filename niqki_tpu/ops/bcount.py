@@ -158,12 +158,19 @@ def build_index_planes(mat: np.ndarray, W: int, row_chunk: int = 16384):
 def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
                         interpret: bool = False) -> jnp.ndarray:
     """counts (Q, G) int32 of host queries q_np (Q, F) against pre-packed
-    device bit-planes xp (W+1, Gp, F/32)."""
-    q = np.asarray(q_np, np.int32)
+    device bit-planes xp (W+1, Gp, F/32).
+
+    Queries ship as int16 when W <= 14 (halves the h2d bytes; the sentinel
+    -3 and all W-bit fingerprints fit)."""
+    dt = np.int16 if W <= 14 else np.int32
+    q = np.asarray(q_np, np.int64)
+    # sanitize BEFORE any narrowing cast: an out-of-range value must not
+    # alias a valid fingerprint through int16 wraparound
+    q = np.where((q < 0) | (q >= (1 << W)), -3, q).astype(dt)
     Q, F = q.shape
     Qp = -(-Q // BLOCK_Q) * BLOCK_Q
     if Qp != Q:
-        q = np.vstack([q, np.full((Qp - Q, F), -3, np.int32)])
+        q = np.vstack([q, np.full((Qp - Q, F), -3, dt)])
     qp = pack_bitplanes(jnp.asarray(q), W=W, query=True)
     outs = [_bcount_call(qp[:, lo:lo + BLOCK_Q], xp, interpret=interpret)
             for lo in range(0, Qp, BLOCK_Q)]
