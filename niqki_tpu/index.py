@@ -120,6 +120,9 @@ class SketchIndex:
             if t is None:
                 continue
             table = np.asarray(t)
+            if table.dtype == np.int16:  # narrow device wire, -1 sentinel
+                table = np.where(table == -1, INT32_MAX,
+                                 table.astype(np.int32))
             cur = np.where(sketch == -1, INT32_MAX, sketch)
             merged = np.minimum(cur, table)
             sketch = np.where(merged == INT32_MAX, -1, merged).astype(np.int32)

@@ -290,7 +290,16 @@ def dispatch_sketch_packed_batch(records, p: SketchParams,
         for lo in range(0, len(idxs), maxb):
             chunk = idxs[lo:lo + maxb]
             B = len(chunk)
-            Bp = -(-B // row_align) * row_align
+            # Pad the row count up to a {2^k, 3*2^(k-1)} grid point (then to
+            # row_align): each distinct (Bp, Pw, E) shape is a separate jit
+            # compile — minutes on a remote-compile transport — so a ragged
+            # tail batch must reuse the full batch's executable, not mint
+            # its own. The grid caps padded-row compute waste at 33%.
+            # Padding rows have n_kmers = 0 and are never collected.
+            Bp = 1 << (B - 1).bit_length()
+            if B <= Bp // 4 * 3:
+                Bp = Bp // 4 * 3
+            Bp = -(-Bp // row_align) * row_align
             Pw = P // 16
             emax = max(len(records[i][2]) for i in chunk)
             E = max(8, 1 << (max(emax, 1) - 1).bit_length())
@@ -306,8 +315,19 @@ def dispatch_sketch_packed_batch(records, p: SketchParams,
                 jnp.asarray(w), jnp.asarray(nk), jnp.asarray(ex),
                 lF=p.lF, K=p.K, W=p.W, H=p.H,
                 mask_M=p.mask_M, max_rem=p.maximal_remainder)
+            if _fp_bits(p.W, p.H, p.mask_M, p.maximal_remainder) <= 14:
+                # Fingerprints fit int16 (sentinel INT32_MAX -> -1): halves
+                # the d2h bytes of the (B, F) tables — the dominant cost of
+                # read-scale ingest on a thin-pipe transport. The host
+                # collector (_finalize_tables) widens back.
+                dev = _table_to_i16(dev)
             out.append((chunk, dev))
     return out
+
+
+@jax.jit
+def _table_to_i16(t):
+    return jnp.where(t == INT32_MAX, -1, t).astype(jnp.int16)
 
 
 def dispatch_sketch(eff_fwd: np.ndarray, eff_rc: np.ndarray,

@@ -17,7 +17,8 @@ def _write_reads(path, n_reads, read_len=150, seed=0):
     rng = np.random.default_rng(seed)
     with gzip.open(path, "wt") as f:
         for i in range(n_reads):
-            seq = rng.choice(list(b"ACGT"), read_len).tobytes().decode()
+            seq = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                             read_len).tobytes().decode()
             f.write(f"@r{i}\n{seq}\n+\nIIII\n")
 
 
