@@ -162,14 +162,20 @@ def _sketch_packed_core(words, n_kmers, exc_idx, *, lF, K, W, H,
 
 
 def _batch_core(words, n_kmers, exc_idx, *, lF, K, W, H,
-                mask_M=None, max_rem=None, psort=False):
+                mask_M=None, max_rem=None, psort=False, to_i16=False):
     """Batched packed-record sketch body, shared by the single-device jitted
     impls and the mesh shard_map wrapper (per-shard execution is identical —
-    sharding the batch axis is a layout choice, never a semantics choice)."""
+    sharding the batch axis is a layout choice, never a semantics choice).
+
+    to_i16 (valid when fingerprints fit 14 bits) emits the (B, F) table as
+    int16 with -1 for empty, halving the d2h bytes; fused here rather than
+    as a separate jit call (every extra dispatch costs ~0.1-1 s of RPC
+    overhead on a remote-transport backend)."""
     if not psort:
         core = functools.partial(_sketch_packed_core, lF=lF, K=K, W=W, H=H,
                                  mask_M=mask_M, max_rem=max_rem)
-        return jax.vmap(core)(words, n_kmers, exc_idx)
+        out = jax.vmap(core)(words, n_kmers, exc_idx)
+        return _i16_table(out) if to_i16 else out
     from .psort import sort_i32_pow2_batch
 
     def keys_one(w, nk, exc):
@@ -184,27 +190,37 @@ def _batch_core(words, n_kmers, exc_idx, *, lF, K, W, H,
                    constant_values=INT32_MAX)
     sk = sort_i32_pow2_batch(keys)
     Wb = _fp_bits(W, H, mask_M, max_rem)
-    return jax.vmap(functools.partial(_extract_core, lF=lF, Wb=Wb))(sk)
+    out = jax.vmap(functools.partial(_extract_core, lF=lF, Wb=Wb))(sk)
+    return _i16_table(out) if to_i16 else out
 
 
-@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H", "mask_M", "max_rem"))
+def _i16_table(t):
+    return jnp.where(t == INT32_MAX, -1, t).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H", "mask_M",
+                                             "max_rem", "to_i16"))
 def _sketch_packed_batch_impl(words, n_kmers, exc_idx, *, lF, K, W, H,
-                              mask_M=None, max_rem=None):
+                              mask_M=None, max_rem=None, to_i16=False):
     return _batch_core(words, n_kmers, exc_idx, lF=lF, K=K, W=W, H=H,
-                       mask_M=mask_M, max_rem=max_rem, psort=False)
+                       mask_M=mask_M, max_rem=max_rem, psort=False,
+                       to_i16=to_i16)
 
 
-@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H", "mask_M", "max_rem"))
+@functools.partial(jax.jit, static_argnames=("lF", "K", "W", "H", "mask_M",
+                                             "max_rem", "to_i16"))
 def _sketch_packed_batch_psort_impl(words, n_kmers, exc_idx, *,
-                                    lF, K, W, H, mask_M=None, max_rem=None):
+                                    lF, K, W, H, mask_M=None, max_rem=None,
+                                    to_i16=False):
     """Packed batch sketch with the Pallas bitonic sorter as the per-slot-min
     reduction (keys padded per row to the next power of two)."""
     return _batch_core(words, n_kmers, exc_idx, lF=lF, K=K, W=W, H=H,
-                       mask_M=mask_M, max_rem=max_rem, psort=True)
+                       mask_M=mask_M, max_rem=max_rem, psort=True,
+                       to_i16=to_i16)
 
 
 @functools.lru_cache(maxsize=None)
-def _mesh_batch_fn(mesh, pkey, psort: bool):
+def _mesh_batch_fn(mesh, pkey, psort: bool, to_i16: bool = False):
     """Jitted shard_map wrapper running _batch_core with the record-batch
     axis sharded over every mesh device (('dp','tp') flattened) — the DP
     story of the production ingest path. Cached per (mesh, params, path)."""
@@ -212,7 +228,8 @@ def _mesh_batch_fn(mesh, pkey, psort: bool):
     from jax.sharding import PartitionSpec as P
     lF, K, W, H, mask_M, max_rem = pkey
     core = functools.partial(_batch_core, lF=lF, K=K, W=W, H=H,
-                             mask_M=mask_M, max_rem=max_rem, psort=psort)
+                             mask_M=mask_M, max_rem=max_rem, psort=psort,
+                             to_i16=to_i16)
     fn = shard_map(
         core, mesh=mesh,
         in_specs=(P(("dp", "tp"), None), P(("dp", "tp")),
@@ -274,15 +291,19 @@ def dispatch_sketch_packed_batch(records, p: SketchParams,
             groups.setdefault(padded_size(n, min_pad), []).append(i)
     out = []
     use_psort = _use_psort(p)
+    # Narrow d2h wire whenever fingerprints fit 14 bits (sentinel -> -1);
+    # the host collector (_finalize_tables) widens back.
+    to16 = _fp_bits(p.W, p.H, p.mask_M, p.maximal_remainder) <= 14
     from ..parallel.auto import active_mesh
     mesh = active_mesh()
     if mesh is None:
-        impl = (_sketch_packed_batch_psort_impl if use_psort
+        base = (_sketch_packed_batch_psort_impl if use_psort
                 else _sketch_packed_batch_impl)
+        impl = functools.partial(base, to_i16=to16)
         row_align = 2
     else:
         pkey = (p.lF, p.K, p.W, p.H, p.mask_M, p.maximal_remainder)
-        mesh_fn = _mesh_batch_fn(mesh, pkey, use_psort)
+        mesh_fn = _mesh_batch_fn(mesh, pkey, use_psort, to16)
         impl = lambda w, nk, ex, **_: mesh_fn(w, nk, ex)  # noqa: E731
         row_align = 2 * mesh.devices.size  # even rows per device shard
     for P, idxs in sorted(groups.items()):
@@ -315,19 +336,8 @@ def dispatch_sketch_packed_batch(records, p: SketchParams,
                 jnp.asarray(w), jnp.asarray(nk), jnp.asarray(ex),
                 lF=p.lF, K=p.K, W=p.W, H=p.H,
                 mask_M=p.mask_M, max_rem=p.maximal_remainder)
-            if _fp_bits(p.W, p.H, p.mask_M, p.maximal_remainder) <= 14:
-                # Fingerprints fit int16 (sentinel INT32_MAX -> -1): halves
-                # the d2h bytes of the (B, F) tables — the dominant cost of
-                # read-scale ingest on a thin-pipe transport. The host
-                # collector (_finalize_tables) widens back.
-                dev = _table_to_i16(dev)
             out.append((chunk, dev))
     return out
-
-
-@jax.jit
-def _table_to_i16(t):
-    return jnp.where(t == INT32_MAX, -1, t).astype(jnp.int16)
 
 
 def dispatch_sketch(eff_fwd: np.ndarray, eff_rc: np.ndarray,
