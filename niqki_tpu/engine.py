@@ -85,11 +85,11 @@ def query_file_lines(index: SketchIndex, path: str, out: GzTextWriter,
             else:
                 write_binary_hits(out, header, hits)
         return
-    # Streamed with bounded memory (two record chunks in flight), counts
-    # batched one device call per chunk; rows stream in file order.
-    for part, sks in index._sketch_stream(
+    # Streamed with bounded memory (two record chunks in flight); on a
+    # device backend the whole chunk fuses sketch+densify+count on device
+    # and only (n, G) counts come back. Rows stream in file order.
+    for part, counts in index.query_counts_stream(
             index._iter_packed_with_headers(path), batch):
-        counts = index.counts(np.stack(sks)) if sks else []
         for r, c in zip(part, counts):
             hits = index.hits_from_counts(c)
             if pretty:

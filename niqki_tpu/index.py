@@ -253,25 +253,81 @@ class SketchIndex:
                 out[i] = np.full(self.params.F, -1, np.int32)
         return out
 
+    # Records at or below this many bases sketch on the HOST (native rolling
+    # sketcher + densify on a thread pool): a 150 bp read costs ~µs of
+    # sequential C++, while the device path pays a table d2h plus dispatch
+    # overhead per chunk that dwarfs its kernel time at read scale. Long
+    # records keep the all-windows-at-once device kernel.
+    HOST_SKETCH_MAX = 4096
+
+    def _host_sketch_packed(self, recs) -> list[np.ndarray]:
+        """Finalized sketches (-1 sentinel) for short packed records via the
+        native rolling CPU sketcher — bit-exact with the device kernel."""
+        p = self.params
+        shifts = 2 * np.arange(16, dtype=np.uint32)
+        out = []
+        for words, n, exc in recs:
+            if n - p.K <= 0:
+                out.append(np.full(p.F, -1, np.int32))
+                continue
+            codes = ((words[:, None] >> shifts[None, :]) & 3) \
+                .astype(np.uint8).reshape(-1)[:n]
+            rc = (3 - codes).astype(np.uint8)
+            if len(exc):
+                rc[exc] = 0
+            table = native.sketch_codes_cpu(
+                codes, rc, p.lF, p.K, p.W, p.H,
+                p.mask_M, p.maximal_remainder)
+            out.append(self._finalize_tables([table]))
+        return out
+
     def _sketch_stream(self, rec_iter, chunk_records: int = 1 << 14):
         """Yield (records_chunk, sketches) pairs from a packed-record
         stream with one chunk of device read-ahead: chunk i+1's host read +
         dispatch overlaps chunk i's device execution. Peak memory is two
-        chunks — never the whole file (VERDICT round-1 weak #6)."""
+        chunks — never the whole file (VERDICT round-1 weak #6).
+
+        Short records route to the host sketcher (see HOST_SKETCH_MAX);
+        their sketches compute on a thread pool while the device works on
+        the chunk's long records."""
         import itertools
         from .ops.sketch import dispatch_sketch_packed_batch
+        host_max = int(os.environ.get("NIQKI_TPU_HOST_READS",
+                                      self.HOST_SKETCH_MAX))
+        use_host = native.available()
+        pool = ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1))
         pending = None
-        while True:
-            part = list(itertools.islice(rec_iter, chunk_records))
-            batches = dispatch_sketch_packed_batch(
-                [r[1:] for r in part], self.params,
-                min_pad=self.LINES_MIN_PAD) if part else None
-            if pending is not None:
-                yield pending[0], self._collect_packed(len(pending[0]),
-                                                       pending[1])
-            if not part:
-                return
-            pending = (part, batches)
+        try:
+            while True:
+                part = list(itertools.islice(rec_iter, chunk_records))
+                work = None
+                if part:
+                    recs = [r[1:] for r in part]
+                    short = [i for i, r in enumerate(recs)
+                             if use_host and r[1] <= host_max]
+                    short_set = set(short)
+                    long_recs = [(None, 0, None) if i in short_set else r
+                                 for i, r in enumerate(recs)]
+                    batches = dispatch_sketch_packed_batch(
+                        long_recs, self.params, min_pad=self.LINES_MIN_PAD)
+                    grp = max(64, -(-len(short) // 32))
+                    futs = [(short[lo:lo + grp], pool.submit(
+                        self._host_sketch_packed,
+                        [recs[i] for i in short[lo:lo + grp]]))
+                        for lo in range(0, len(short), grp)]
+                    work = (part, batches, futs)
+                if pending is not None:
+                    ppart, pbatches, pfuts = pending
+                    sks = self._collect_packed(len(ppart), pbatches)
+                    for idxs, fut in pfuts:
+                        for i, sk in zip(idxs, fut.result()):
+                            sks[i] = sk
+                    yield ppart, sks
+                if not part:
+                    return
+                pending = work
+        finally:
+            pool.shutdown(wait=False)
 
     def insert_file_lines(self, path: str,
                           chunk_records: int = 1 << 14) -> list[int]:
@@ -396,6 +452,13 @@ class SketchIndex:
         res = match_counts_blocked(
             jnp.asarray(q.astype(self._device_dtype)), self._device_matrix())
         return np.asarray(res)
+
+    def query_counts_stream(self, rec_iter, chunk_records: int = 1 << 13):
+        """Yield (records_chunk, (n, G) counts) pairs from a packed-record
+        stream, one batched count call per chunk, bounded memory."""
+        for part, sks in self._sketch_stream(rec_iter, chunk_records):
+            yield part, (self.counts(np.stack(sks)) if sks
+                         else np.zeros((0, self.G), np.int32))
 
     def hits_from_counts(self, c: np.ndarray) -> list[tuple[int, int]]:
         return hits_from_counts(c, self.params.min_score)

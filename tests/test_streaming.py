@@ -96,3 +96,33 @@ def test_load_dump_streaming_matches_fixture(fixtures):
     assert names_a == names_b
     np.testing.assert_array_equal(sk_a, sk_b)
     assert (hdr_a.lF, hdr_a.min_score) == (hdr_b.lF, hdr_b.min_score)
+
+
+def test_host_read_sketch_routing_matches_device(tmp_path, monkeypatch):
+    """Short records route to the native host sketcher; sketches must be
+    bit-identical with the device path (NIQKI_TPU_HOST_READS=0)."""
+    from niqki_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    path = tmp_path / "reads.fq"
+    with open(path, "w") as f:
+        alpha = np.frombuffer(b"ACGTN", np.uint8)
+        for i in range(60):
+            n = int(rng.integers(60, 500))
+            seq = rng.choice(alpha, n, p=[.24] * 4 + [.04]).tobytes().decode()
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * n}\n")
+        # one long record to exercise the device branch of the same stream
+        seq = rng.choice(alpha, 6000, p=[.24] * 4 + [.04]).tobytes().decode()
+        f.write(f"@long\n{seq}\n+\n{'I' * 6000}\n")
+    idx = SketchIndex(SketchParams(lF=8))
+    monkeypatch.setenv("NIQKI_TPU_HOST_READS", "0")
+    dev = [[np.asarray(s).copy() for s in sks] for _, sks in
+           idx._sketch_stream(idx._iter_packed_with_headers(str(path)), 16)]
+    monkeypatch.setenv("NIQKI_TPU_HOST_READS", "4096")
+    host = [sks for _, sks in
+            idx._sketch_stream(idx._iter_packed_with_headers(str(path)), 16)]
+    assert len(dev) == len(host) and sum(map(len, dev)) == 61
+    for da, ha in zip(dev, host):
+        for x, y in zip(da, ha):
+            assert (np.asarray(x) == np.asarray(y)).all()
