@@ -30,6 +30,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <algorithm>
 #include <cstring>
 #include <new>
 #include <string>
@@ -487,6 +488,50 @@ void nq_sketch_codes(const uint8_t* eff_fwd, const uint8_t* eff_rc, int64_t n,
   }
 }
 
+// Batched short-record pipeline: unpack the 2-bit wire, rolling-sketch and
+// densify every record in ONE call. At read scale (150 bp) the per-record
+// Python/ctypes cost of driving nq_sketch_codes from the host pool measured
+// ~450 us/record; the whole record is ~5 us of C++ here. Layout: words /
+// exc are the records' arrays concatenated, with word_off / exc_off
+// (n_records + 1) prefix offsets. out receives n_records final sketches
+// (F = 2^lF int32 each, -1 = empty, densified) — identical to feeding each
+// record through nq_sketch_codes + the -1 conversion + nq_densify.
+void nq_sketch_packed_batch(const uint32_t* words, const int64_t* word_off,
+                            const int64_t* n_bases,
+                            const int32_t* exc, const int64_t* exc_off,
+                            int64_t n_records,
+                            int64_t K, int64_t lF, int64_t W, int64_t H,
+                            int64_t mask_M, int64_t max_rem, int32_t* out) {
+  const int64_t F = 1LL << lF;
+  const int32_t kEmpty = INT32_MAX;
+  std::vector<uint8_t> fwd, rc;
+  std::vector<int32_t> tmp((size_t)F);
+  for (int64_t r = 0; r < n_records; ++r) {
+    int32_t* table = out + r * F;
+    const int64_t n = n_bases[r];
+    if (n - K <= 0) {
+      std::fill(table, table + F, -1);
+      continue;
+    }
+    fwd.resize((size_t)n);
+    rc.resize((size_t)n);
+    const uint32_t* w = words + word_off[r];
+    for (int64_t i = 0; i < n; ++i) {
+      const uint8_t c = (uint8_t)((w[i >> 4] >> (2 * (i & 15))) & 3u);
+      fwd[(size_t)i] = c;
+      rc[(size_t)i] = (uint8_t)(3 - c);
+    }
+    for (int64_t e = exc_off[r]; e < exc_off[r + 1]; ++e)
+      rc[(size_t)exc[e]] = 0;
+    std::fill(tmp.begin(), tmp.end(), kEmpty);
+    nq_sketch_codes(fwd.data(), rc.data(), n, K, lF, W, H, mask_M, max_rem,
+                    tmp.data());
+    for (int64_t f = 0; f < F; ++f)
+      table[f] = tmp[(size_t)f] == kEmpty ? -1 : tmp[(size_t)f];
+    nq_densify(table, F);
+  }
+}
+
 // Scans a NIQKI dump's bucket stream (the uint32 words after the 24-byte
 // header): per bucket a size word followed by that many gid words. Fills
 // sizes[n_buckets] and returns the total gid count, or -1 if the stream is
@@ -536,6 +581,6 @@ int64_t nq_scan_dump_stream(const uint32_t* words, int64_t n_words,
 }
 
 // Version tag so the Python wrapper can detect ABI drift.
-int64_t nq_abi_version() { return 4; }
+int64_t nq_abi_version() { return 5; }
 
 }  // extern "C"

@@ -88,10 +88,11 @@ def query_file_lines(index: SketchIndex, path: str, out: GzTextWriter,
     # Streamed with bounded memory (two record chunks in flight); on a
     # device backend the whole chunk fuses sketch+densify+count on device
     # and only (n, G) counts come back. Rows stream in file order.
+    from .index import hits_from_counts_batch
     for part, counts in index.query_counts_stream(
             index._iter_packed_with_headers(path), batch):
-        for r, c in zip(part, counts):
-            hits = index.hits_from_counts(c)
+        all_hits = hits_from_counts_batch(counts, index.params.min_score)
+        for r, hits in zip(part, all_hits):
             if pretty:
                 write_pretty_hits(out, r[0], hits, index.names,
                                   index.params.F)

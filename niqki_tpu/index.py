@@ -47,6 +47,26 @@ def hits_from_counts(counts: np.ndarray, min_score: int
     return [(int(c[g]), int(g)) for g in sel[order]]
 
 
+def hits_from_counts_batch(counts: np.ndarray, min_score: int
+                           ) -> list[list[tuple[int, int]]]:
+    """hits_from_counts over a whole (B, G) block with ONE argsort: the
+    per-row numpy-call overhead dominates read-scale query formatting.
+    Composite key = count * G + gid, so descending key order is exactly
+    count desc then gid desc; sub-threshold entries key to -1."""
+    c = np.asarray(counts)
+    B, G = c.shape
+    if G == 0:
+        return [[] for _ in range(B)]
+    gid = np.arange(G, dtype=np.int64)
+    keys = np.where(c >= min_score, c.astype(np.int64) * G + gid,
+                    np.int64(-1))
+    order = np.argsort(-keys, axis=1, kind="stable")
+    skeys = np.take_along_axis(keys, order, axis=1)
+    nhits = (skeys >= 0).sum(axis=1)
+    return [[(int(k // G), int(k % G)) for k in skeys[b, :nhits[b]]]
+            for b in range(B)]
+
+
 class SketchIndex:
     def __init__(self, params: SketchParams, backend: str = "jax"):
         self.params = params
@@ -262,24 +282,12 @@ class SketchIndex:
 
     def _host_sketch_packed(self, recs) -> list[np.ndarray]:
         """Finalized sketches (-1 sentinel) for short packed records via the
-        native rolling CPU sketcher — bit-exact with the device kernel."""
+        native rolling CPU sketcher + densify, one C++ call for the whole
+        group — bit-exact with the device kernel path."""
         p = self.params
-        shifts = 2 * np.arange(16, dtype=np.uint32)
-        out = []
-        for words, n, exc in recs:
-            if n - p.K <= 0:
-                out.append(np.full(p.F, -1, np.int32))
-                continue
-            codes = ((words[:, None] >> shifts[None, :]) & 3) \
-                .astype(np.uint8).reshape(-1)[:n]
-            rc = (3 - codes).astype(np.uint8)
-            if len(exc):
-                rc[exc] = 0
-            table = native.sketch_codes_cpu(
-                codes, rc, p.lF, p.K, p.W, p.H,
-                p.mask_M, p.maximal_remainder)
-            out.append(self._finalize_tables([table]))
-        return out
+        out = native.sketch_packed_batch(
+            recs, p.lF, p.K, p.W, p.H, p.mask_M, p.maximal_remainder)
+        return list(out)
 
     def _sketch_stream(self, rec_iter, chunk_records: int = 1 << 14):
         """Yield (records_chunk, sketches) pairs from a packed-record

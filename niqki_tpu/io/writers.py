@@ -27,7 +27,10 @@ class GzTextWriter:
 
     def __init__(self, path: str):
         self.path = path
-        self._f = gzip.open(path, "wb")
+        # Level 6 = zlib's default, what the reference's zstr::ofstream
+        # uses (Python gzip defaults to 9, ~3x slower for the same parity:
+        # every golden/fuzz comparison is on DECOMPRESSED bytes).
+        self._f = gzip.open(path, "wb", compresslevel=6)
 
     def write(self, s: str | bytes) -> None:
         if isinstance(s, str):

@@ -96,9 +96,19 @@ def _load():
         ctypes.POINTER(ctypes.c_int64),
         np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+    lib.nq_sketch_packed_batch.restype = None
+    lib.nq_sketch_packed_batch.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
     lib.nq_abi_version.restype = ctypes.c_int64
     lib.nq_abi_version.argtypes = []
-    if lib.nq_abi_version() != 4:
+    if lib.nq_abi_version() != 5:
         return None
     _lib = lib
     return _lib
@@ -188,6 +198,39 @@ def read_packed_records(path: str, K: int,
             yield header, words, slen.value, exc
     finally:
         lib.nq_reader_close(h)
+
+
+def sketch_packed_batch(recs, lF: int, K: int, W: int, H: int,
+                        mask_M: int | None = None,
+                        max_rem: int | None = None) -> np.ndarray:
+    """Final (-1 sentinel, densified) sketches for a batch of packed
+    (words, n_bases, exc_idx) records — ONE ctypes call for the whole batch
+    (the per-record Python cost of driving sketch_codes_cpu dominates at
+    read scale). Bit-exact with the device kernel + host densify."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if mask_M is None:
+        mask_M = (1 << (W - H)) - 1
+    if max_rem is None:
+        max_rem = (1 << H) - 1
+    B = len(recs)
+    out = np.empty((B, 1 << lF), np.int32)
+    if B == 0:
+        return out
+    words = np.concatenate([np.ascontiguousarray(r[0], np.uint32)
+                            for r in recs])
+    word_off = np.zeros(B + 1, np.int64)
+    np.cumsum([len(r[0]) for r in recs], out=word_off[1:])
+    n_bases = np.array([r[1] for r in recs], np.int64)
+    excs = [np.ascontiguousarray(r[2], np.int32) for r in recs]
+    exc = np.concatenate(excs) if any(len(e) for e in excs) \
+        else np.zeros(1, np.int32)
+    exc_off = np.zeros(B + 1, np.int64)
+    np.cumsum([len(e) for e in excs], out=exc_off[1:])
+    lib.nq_sketch_packed_batch(words, word_off, n_bases, exc, exc_off,
+                               B, K, lF, W, H, mask_M, max_rem, out)
+    return out
 
 
 def densify(sketch: np.ndarray) -> None:

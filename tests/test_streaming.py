@@ -126,3 +126,15 @@ def test_host_read_sketch_routing_matches_device(tmp_path, monkeypatch):
     for da, ha in zip(dev, host):
         for x, y in zip(da, ha):
             assert (np.asarray(x) == np.asarray(y)).all()
+
+
+def test_hits_from_counts_batch_matches_per_row():
+    from niqki_tpu.index import hits_from_counts, hits_from_counts_batch
+    rng = np.random.default_rng(5)
+    for G, ms in ((9, 51), (9, 0), (300, 1), (1, 1), (7, 2)):
+        c = rng.integers(0, 60, (40, G)).astype(np.int32)
+        c[3] = 0                       # all-below-threshold row
+        c[5] = 59                      # all-tied row (gid desc ordering)
+        batch = hits_from_counts_batch(c, ms)
+        for b in range(40):
+            assert batch[b] == hits_from_counts(c[b], ms), (G, ms, b)
