@@ -67,7 +67,7 @@ def bench_ingest_e2e(n: int, length: int):
     idx_w = SketchIndex(p)
     idx_w.insert_file_lines(_synth_genomes_file(64, length))
     t0 = time.time()
-    idx.insert_file_lines(path, chunk_records=4096)
+    idx.insert_file_lines(path)
     dt = time.time() - t0
     gps = idx.G / dt
     print(json.dumps({"metric": f"ingest_genomes_per_s_G{n}",

@@ -70,7 +70,7 @@ def query_fof_whole(index: SketchIndex, fof_path: str, out: GzTextWriter,
 
 
 def query_file_lines(index: SketchIndex, path: str, out: GzTextWriter,
-                     pretty: bool = True, batch: int = 1 << 13) -> None:
+                     pretty: bool = True, batch: int = 1 << 15) -> None:
     """-l: each record of the file is a separate query named by its header.
 
     Records are sketched in device batches and counted in one blocked device

@@ -279,6 +279,10 @@ class SketchIndex:
     # overhead per chunk that dwarfs its kernel time at read scale. Long
     # records keep the all-windows-at-once device kernel.
     HOST_SKETCH_MAX = 4096
+    # Per-chunk base budget for the lines-mode streams (64 Mbp ≈ 16 MB
+    # packed): the record-count bound alone would let chromosome-sized
+    # records make a chunk arbitrarily large.
+    CHUNK_BASES = 1 << 26
 
     def _host_sketch_packed(self, recs) -> list[np.ndarray]:
         """Finalized sketches (-1 sentinel) for short packed records via the
@@ -289,7 +293,7 @@ class SketchIndex:
             recs, p.lF, p.K, p.W, p.H, p.mask_M, p.maximal_remainder)
         return list(out)
 
-    def _sketch_stream(self, rec_iter, chunk_records: int = 1 << 14):
+    def _sketch_stream(self, rec_iter, chunk_records: int = 1 << 15):
         """Yield (records_chunk, sketches) pairs from a packed-record
         stream with one chunk of device read-ahead: chunk i+1's host read +
         dispatch overlaps chunk i's device execution. Peak memory is two
@@ -298,16 +302,28 @@ class SketchIndex:
         Short records route to the host sketcher (see HOST_SKETCH_MAX);
         their sketches compute on a thread pool while the device works on
         the chunk's long records."""
-        import itertools
         from .ops.sketch import dispatch_sketch_packed_batch
         host_max = int(os.environ.get("NIQKI_TPU_HOST_READS",
                                       self.HOST_SKETCH_MAX))
         use_host = native.available()
         pool = ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1))
         pending = None
+
+        def take_chunk():
+            # Chunks are bounded by BASES as well as records, so a lines
+            # file of chromosome-sized records cannot blow up host memory
+            # while read-sized records still batch wide (fewer dispatches).
+            part, bases = [], 0
+            for rec in rec_iter:
+                part.append(rec)
+                bases += rec[2]
+                if len(part) >= chunk_records or bases >= self.CHUNK_BASES:
+                    break
+            return part
+
         try:
             while True:
-                part = list(itertools.islice(rec_iter, chunk_records))
+                part = take_chunk()
                 work = None
                 if part:
                     recs = [r[1:] for r in part]
@@ -338,7 +354,7 @@ class SketchIndex:
             pool.shutdown(wait=False)
 
     def insert_file_lines(self, path: str,
-                          chunk_records: int = 1 << 14) -> list[int]:
+                          chunk_records: int = 1 << 15) -> list[int]:
         """Each record of the file becomes a separate entry named by its
         header line (including the '>'/'@' prefix). Device work is batched
         per ``chunk_records`` records, streamed with bounded memory."""
@@ -461,7 +477,7 @@ class SketchIndex:
             jnp.asarray(q.astype(self._device_dtype)), self._device_matrix())
         return np.asarray(res)
 
-    def query_counts_stream(self, rec_iter, chunk_records: int = 1 << 13):
+    def query_counts_stream(self, rec_iter, chunk_records: int = 1 << 15):
         """Yield (records_chunk, (n, G) counts) pairs from a packed-record
         stream, one batched count call per chunk, bounded memory."""
         for part, sks in self._sketch_stream(rec_iter, chunk_records):
