@@ -511,12 +511,17 @@ class SketchIndex:
     # persistence: native sharded checkpoint (one npz per genome range)
     def save_sharded(self, directory: str, num_shards: int = 1,
                      compress: bool = True) -> None:
+        """Sharded checkpoint, v2: raw little-endian int32 row blocks plus a
+        newline-separated utf-8 name blob per shard (record names are
+        single lines by construction). np.savez measured 20-30 MB/s on this
+        class of virtual disk vs ~760 MB/s for plain writes; a 100k-genome
+        matrix is GBs."""
         os.makedirs(directory, exist_ok=True)
-        mat = self.matrix()
+        mat = np.ascontiguousarray(self.matrix(), np.int32)
         bounds = np.linspace(0, self.G, num_shards + 1).astype(int)
         p = self.params
         manifest = {
-            "format": "niqki_tpu.sharded.v1",
+            "format": "niqki_tpu.sharded.v2",
             "params": {"lF": p.lF, "K": p.K, "W": p.W, "H": p.H,
                        "min_fract": p.min_fract,
                        # -G stale fingerprint constants (None = H-derived):
@@ -525,26 +530,36 @@ class SketchIndex:
                        "stale_mask_M": p.stale_mask_M,
                        "stale_maximal_remainder": p.stale_maximal_remainder},
             "genomes": self.G,
+            "compress": bool(compress),
             "shards": [],
         }
-        save = np.savez_compressed if compress else np.savez
         for s in range(num_shards):
             lo, hi = int(bounds[s]), int(bounds[s + 1])
-            fn = f"shard_{s:05d}.npz"
-            save(
-                os.path.join(directory, fn),
-                sketches=mat[lo:hi],
-                names=np.array(self.names[lo:hi], dtype=object),
-            )
-            manifest["shards"].append({"file": fn, "lo": lo, "hi": hi})
+            fn = f"shard_{s:05d}.bin" + (".gz" if compress else "")
+            with open(os.path.join(directory, fn), "wb") as f:
+                if compress:
+                    # one-shot zlib deflate in a gzip container: Python's
+                    # streaming gzip.open writes measure ~20 MB/s here
+                    co = zlib.compressobj(1, zlib.DEFLATED, 31)
+                    f.write(co.compress(memoryview(mat[lo:hi])))
+                    f.write(co.flush())
+                else:
+                    f.write(memoryview(mat[lo:hi]))
+            nf = f"shard_{s:05d}.names"
+            with open(os.path.join(directory, nf), "wb") as f:
+                f.write("\n".join(self.names[lo:hi]).encode())
+            manifest["shards"].append({"file": fn, "names": nf,
+                                       "lo": lo, "hi": hi})
         with open(os.path.join(directory, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
 
     @classmethod
     def load_sharded(cls, directory: str, backend: str = "jax") -> "SketchIndex":
+        import gzip as _gzip
         with open(os.path.join(directory, "manifest.json")) as f:
             manifest = json.load(f)
-        if manifest.get("format") != "niqki_tpu.sharded.v1":
+        fmt = manifest.get("format")
+        if fmt not in ("niqki_tpu.sharded.v1", "niqki_tpu.sharded.v2"):
             raise ValueError(f"unknown checkpoint format in {directory}")
         pp = manifest["params"]
         idx = cls(SketchParams(
@@ -553,12 +568,27 @@ class SketchIndex:
             stale_mask_M=pp.get("stale_mask_M"),
             stale_maximal_remainder=pp.get("stale_maximal_remainder")),
             backend=backend)
-        mats, names = [], []
+        F = idx.params.F
+        mat = np.empty((manifest["genomes"], F), np.int32)
+        names: list[str] = []
         for sh in manifest["shards"]:
-            z = np.load(os.path.join(directory, sh["file"]), allow_pickle=True)
-            mats.append(z["sketches"])
-            names.extend(z["names"].tolist())
-        idx._mat = (np.vstack(mats) if mats
-                    else np.zeros((0, idx.params.F), np.int32))
+            path = os.path.join(directory, sh["file"])
+            lo, hi = sh["lo"], sh["hi"]
+            if fmt == "niqki_tpu.sharded.v1":   # legacy npz checkpoints
+                z = np.load(path, allow_pickle=True)
+                mat[lo:hi] = z["sketches"]
+                names.extend(z["names"].tolist())
+                continue
+            if sh["file"].endswith(".gz"):
+                with open(path, "rb") as f:      # one-shot inflate (see save)
+                    raw = zlib.decompress(f.read(), 31)
+                mat[lo:hi] = np.frombuffer(raw, np.int32).reshape(hi - lo, F)
+            else:
+                with open(path, "rb") as f:
+                    f.readinto(memoryview(mat[lo:hi]))
+            with open(os.path.join(directory, sh["names"]), "rb") as f:
+                blob = f.read().decode()
+            names.extend(blob.split("\n") if hi > lo else [])
+        idx._mat = mat
         idx.names = names
         return idx

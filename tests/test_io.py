@@ -106,3 +106,37 @@ def test_binary_hits_layout(tmp_path):
     body = raw[len(b"queryX\n"):]
     nhits, g0, c0, g1, c1 = struct.unpack("<5I", body)
     assert (nhits, g0, c0, g1, c1) == (2, 2, 7, 0, 5)
+
+
+def test_sharded_checkpoint_raw_and_legacy_v1(tmp_path):
+    """compress=False writes raw row blocks; v1 npz checkpoints still load."""
+    import json
+    import numpy as np
+    from niqki_tpu import SketchIndex, SketchParams
+
+    p = SketchParams(lF=5)
+    idx = SketchIndex(p, backend="numpy")
+    for g in range(5):
+        idx.insert_sketch(np.arange(p.F, dtype=np.int32) + g, f"g{g}")
+    ck = tmp_path / "raw"
+    idx.save_sharded(str(ck), 3, compress=False)
+    back = SketchIndex.load_sharded(str(ck), backend="numpy")
+    assert back.names == idx.names
+    assert np.array_equal(back.matrix(), idx.matrix())
+
+    # hand-built legacy v1 layout (what round-1 checkpoints look like)
+    v1 = tmp_path / "v1"
+    v1.mkdir()
+    np.savez(v1 / "shard_00000.npz", sketches=idx.matrix(),
+             names=np.array(idx.names, dtype=object))
+    (v1 / "manifest.json").write_text(json.dumps({
+        "format": "niqki_tpu.sharded.v1",
+        "params": {"lF": p.lF, "K": p.K, "W": p.W, "H": p.H,
+                   "min_fract": p.min_fract, "stale_mask_M": None,
+                   "stale_maximal_remainder": None},
+        "genomes": 5,
+        "shards": [{"file": "shard_00000.npz", "lo": 0, "hi": 5}],
+    }))
+    old = SketchIndex.load_sharded(str(v1), backend="numpy")
+    assert old.names == idx.names
+    assert np.array_equal(old.matrix(), idx.matrix())
