@@ -58,7 +58,6 @@ def bench_ingest_e2e(n: int, length: int):
     pipeline (gzip -> native parse/pack -> device sketch -> densify ->
     index), then sharded dump + reload, then real genome queries against
     the built index — no jax.random sketches anywhere."""
-    import jax
     from niqki_tpu import SketchIndex, SketchParams
     path = _synth_genomes_file(n, length)
     p = SketchParams(lF=12, min_fract=0.05)   # F=4096: 100k rows = 1.6 GB

@@ -436,16 +436,27 @@ void nq_densify(int32_t* sketch, int64_t F) {
   for (int64_t i = 0; i < F; ++i) empty += sketch[i] == -1;
   if (empty == 0 || empty == F) return;
   for (uint64_t step = 0; empty != 0; ++step) {
+    int64_t filled = 0;
+    bool movable = false;  // any value whose probe target varies with step
     for (int64_t i = 0; i < F; ++i) {
       int32_t v = sketch[i];
       if (v == -1) continue;
       uint64_t uv = (uint64_t)(int64_t)v;
-      uint64_t t = (unrevhash64(uv) + step * revhash64(uv)) % (uint64_t)F;
+      uint64_t r = revhash64(uv);
+      movable |= (r % (uint64_t)F) != 0;
+      uint64_t t = (unrevhash64(uv) + step * r) % (uint64_t)F;
       if (sketch[t] == -1) {
         sketch[t] = v;
+        ++filled;
         if (--empty == 0) return;
       }
     }
+    // Termination divergence (documented): the reference loops forever when
+    // no value can ever reach an empty slot — e.g. a poly-N/poly-A record
+    // sketches to the single fingerprint 0, and revhash64(0) ==
+    // unrevhash64(0) == 0 pins every probe to slot 0. A zero-fill pass with
+    // no movable value can never change; a pass cap backstops the rest.
+    if (filled == 0 && (!movable || step > 4 * (uint64_t)F)) return;
   }
 }
 

@@ -13,7 +13,6 @@ construction: genome g is in bucket (slot i, fp v) iff sketches[g, i] == v.
 
 from __future__ import annotations
 
-import collections
 import json
 import os
 import zlib
@@ -274,11 +273,12 @@ class SketchIndex:
         return out
 
     # Records at or below this many bases sketch on the HOST (native rolling
-    # sketcher + densify on a thread pool): a 150 bp read costs ~µs of
-    # sequential C++, while the device path pays a table d2h plus dispatch
-    # overhead per chunk that dwarfs its kernel time at read scale. Long
-    # records keep the all-windows-at-once device kernel.
-    HOST_SKETCH_MAX = 4096
+    # sketcher + densify on a thread pool): the device path pays a (F,)
+    # table d2h PER RECORD (~0.5 ms at F=4096 on the remote transport) plus
+    # dispatch overhead, while the host rolls ~50 Mbp/s/thread — at lines-
+    # mode record sizes the host wins well past 32 kb. Longer records (and
+    # always the whole-file path, one table per FILE) use the device kernel.
+    HOST_SKETCH_MAX = 32768
     # Per-chunk base budget for the lines-mode streams (64 Mbp ≈ 16 MB
     # packed): the record-count bound alone would let chromosome-sized
     # records make a chunk arbitrarily large.

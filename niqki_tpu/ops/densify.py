@@ -42,7 +42,8 @@ def densify_device(table: jnp.ndarray, *, lF: int) -> jnp.ndarray:
     mask = jnp.uint32(F - 1)
 
     def pass_body(state):
-        table, empty, step = state
+        table, empty, prev_empty, step = state
+        prev_empty = empty
 
         def slot_body(i, inner):
             table, empty = inner
@@ -65,19 +66,31 @@ def densify_device(table: jnp.ndarray, *, lF: int) -> jnp.ndarray:
                 (table, empty))
 
         table, empty = jax.lax.fori_loop(0, F, slot_body, (table, empty))
-        return table, empty, step + 1
+        return table, empty, prev_empty, step + 1
+
+    # Termination divergence (matches oracle.densify / nq_densify): the
+    # reference loops forever when no value can ever reach an empty slot
+    # (e.g. a poly-N record's only fingerprint is 0 and revhash64(0) == 0,
+    # pinning every probe). `movable` — any value whose probe stride rev%F
+    # is nonzero — is invariant (fills only copy existing values), so a
+    # zero-fill pass without it can never change; a pass cap backstops.
+    valid0 = table != INT32_MAX
+    rev0, _ = _hash_lo(jnp.where(valid0, table, 0).astype(jnp.uint32))
+    movable = jnp.any(valid0 & ((rev0 & mask) != 0))
 
     def cond(state):
-        _, empty, _ = state
-        return empty > 0
+        _, empty, prev_empty, step = state
+        stuck = (empty == prev_empty) & ((~movable) | (step > 4 * F))
+        return (empty > 0) & ~stuck
 
     empty = jnp.sum((table == INT32_MAX).astype(jnp.int32))
     # An all-empty table has nothing to copy; densifying it would never
     # terminate, so it is returned unchanged (callers exclude this case).
-    table, _, _ = jax.lax.cond(
+    table = jax.lax.cond(
         (empty > 0) & (empty < F),
-        lambda t: jax.lax.while_loop(cond, pass_body, (t, empty, jnp.int32(0)))[:1] + (jnp.int32(0), jnp.int32(0)),
-        lambda t: (t, jnp.int32(0), jnp.int32(0)),
+        lambda t: jax.lax.while_loop(
+            cond, pass_body, (t, empty, jnp.int32(-1), jnp.int32(0)))[0],
+        lambda t: t,
         table,
     )
     return table

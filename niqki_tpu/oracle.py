@@ -202,6 +202,7 @@ def densify(sketch: np.ndarray, p: SketchParams) -> None:
         h_rev = revhash64(vals.astype(np.uint64))
         step_u = np.uint64(step)
         targets = ((h_unrev + step_u * h_rev) % np.uint64(F)).astype(np.int64)
+        filled_this_pass = 0
         for i in range(F):
             v = sketch[i]
             if v == -1:
@@ -211,9 +212,21 @@ def densify(sketch: np.ndarray, p: SketchParams) -> None:
             if sketch[t] == -1:
                 sketch[t] = v
                 empty_cells -= 1
+                filled_this_pass += 1
                 if empty_cells == 0:
                     return
         step += 1
+        # Termination divergence (documented): the reference loops forever
+        # when no present value can ever reach an empty slot — e.g. a
+        # poly-N/poly-A record, whose only fingerprint is 0 and
+        # revhash64(0) == unrevhash64(0) == 0, pins every probe to slot 0.
+        # A zero-fill pass with every per-value stride rev%F == 0 can never
+        # change targets again; a generous pass cap backstops the rest.
+        if filled_this_pass == 0:
+            if not np.any(h_rev[vals != -1] % np.uint64(F)):
+                return
+            if step > 4 * F:
+                return
 
 
 def sketch_records(seqs, p: SketchParams) -> np.ndarray:

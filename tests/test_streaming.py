@@ -138,3 +138,39 @@ def test_hits_from_counts_batch_matches_per_row():
         batch = hits_from_counts_batch(c, ms)
         for b in range(40):
             assert batch[b] == hits_from_counts(c[b], ms), (G, ms, b)
+
+
+def test_polyN_read_terminates():
+    """A poly-N (or poly-A) record sketches to the single fingerprint 0,
+    whose densify probe is pinned to slot 0 (revhash64(0) == 0) — the
+    reference binary infinitely loops there; we terminate with the slot
+    left sparse (documented divergence). All three densify impls agree."""
+    import jax.numpy as jnp
+    from niqki_tpu import native, oracle
+    from niqki_tpu.ops.densify import densify_device
+    INT32_MAX = np.iinfo(np.int32).max
+    p = SketchParams(lF=6)
+    sk = np.full(p.F, -1, np.int32)
+    sk[0] = 0
+    a = sk.copy()
+    oracle.densify(a, p)
+    assert (a != -1).sum() == 1
+    if native.available():
+        b = sk.copy()
+        native.densify(b)
+        assert np.array_equal(a, b)
+    t = np.where(sk == -1, INT32_MAX, sk).astype(np.int32)
+    d = np.asarray(densify_device(jnp.asarray(t), lF=p.lF))
+    assert np.array_equal(a, np.where(d == INT32_MAX, -1, d))
+    # end to end: a poly-N read in lines mode must not hang the stream
+    idx = SketchIndex(p)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        fq = os.path.join(td, "r.fq")
+        with open(fq, "w") as f:
+            f.write(f"@polyN\n{'N' * 200}\n+\n{'I' * 200}\n")
+        chunks = list(idx._sketch_stream(
+            idx._iter_packed_with_headers(fq), 8))
+        assert len(chunks) == 1
+        (_, sks), = chunks
+        assert (np.asarray(sks[0]) != -1).sum() == 1
