@@ -20,7 +20,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-from . import native, oracle
+from . import hostmem, native, oracle
 from .debug import dbg
 from .dumpfmt import load_dump, save_dump
 from .io.fasta import read_records
@@ -377,8 +377,19 @@ class SketchIndex:
     def matrix(self) -> np.ndarray:
         if self._mat is None or len(self._mat) != self.G:
             if self._rows:
-                prev = [self._mat] if self._mat is not None and len(self._mat) else []
-                self._mat = np.vstack(prev + self._rows) if prev else np.vstack(self._rows)
+                # Consolidate into a hugepage-backed destination: a plain
+                # np.vstack first-touches GBs of fresh 4K pages, which this
+                # class of virtualized host faults at ~22 MB/s (90+ s at
+                # 100k genomes); hugepage faults run at 1.5+ GB/s.
+                prev = self._mat if self._mat is not None else None
+                n_prev = len(prev) if prev is not None else 0
+                mat = hostmem.big_empty(
+                    (n_prev + len(self._rows), self.params.F), np.int32)
+                if n_prev:
+                    mat[:n_prev] = prev
+                for i, r in enumerate(self._rows):
+                    mat[n_prev + i] = r
+                self._mat = mat
                 self._rows = []
             elif self._mat is None:
                 self._mat = np.zeros((0, self.params.F), np.int32)
@@ -397,8 +408,28 @@ class SketchIndex:
         in buckets (src/niqki_index.cpp:362-364: empty slots, and
         out-of-range values the -G stale constants can produce)."""
         mat = self.matrix()
-        bad = (mat < 0) | (mat >= self.params.fingerprint_range)
-        return np.where(bad, -2, mat)
+        # Chunked copy into a hugepage destination: np.where would allocate
+        # a fresh GB-scale result plus a bool temp, both first-touch-bound
+        # on this host class (niqki_tpu/hostmem.py); block temps reuse the
+        # allocator's warm pool.
+        out = hostmem.big_empty(mat.shape, np.int32)
+        hi_fp = self.params.fingerprint_range
+        B = 1 << 14
+
+        def fix(lo):
+            blk = mat[lo:lo + B]
+            dst = out[lo:lo + B]
+            np.copyto(dst, blk)
+            dst[(blk < 0) | (blk >= hi_fp)] = -2
+
+        blocks = range(0, len(mat), B)
+        if len(mat) > B:  # numpy releases the GIL on the copies/compares
+            with ThreadPoolExecutor(min(4, os.cpu_count() or 1)) as ex:
+                list(ex.map(fix, blocks))
+        else:
+            for lo in blocks:
+                fix(lo)
+        return out
 
     def _query_side(self, q: np.ndarray) -> np.ndarray:
         """Query-side sanitization: out-of-range query fingerprints scan no
@@ -411,7 +442,7 @@ class SketchIndex:
         import jax.numpy as jnp
         if self._device_mat is None:
             self._device_mat = jnp.asarray(
-                self._stored().astype(self._device_dtype))
+                hostmem.big_copy(self._stored(), self._device_dtype))
         return self._device_mat
 
     # ------------------------------------------------------------------
@@ -464,11 +495,9 @@ class SketchIndex:
         if mode in ("auto", "pcount") and self.G >= 4096 \
                 and p.W <= 14 and pcount.available(p.F):
             if self._device_packed is None:
-                mat16 = self._stored().astype(np.int16)
-                Gp = -(-self.G // pcount.TILE_G) * pcount.TILE_G
-                if Gp != self.G:
-                    mat16 = np.vstack([
-                        mat16, np.full((Gp - self.G, p.F), -2, np.int16)])
+                mat16 = bcount.pad_rows(
+                    hostmem.big_copy(self._stored(), np.int16),
+                    tile=pcount.TILE_G)
                 self._device_packed = jnp.asarray(pcount.pack_rows_np(mat16))
             return np.asarray(pcount.match_counts_packed(
                 q.astype(np.int16), self._device_packed, self.G))
@@ -536,15 +565,18 @@ class SketchIndex:
         for s in range(num_shards):
             lo, hi = int(bounds[s]), int(bounds[s + 1])
             fn = f"shard_{s:05d}.bin" + (".gz" if compress else "")
-            with open(os.path.join(directory, fn), "wb") as f:
-                if compress:
+            if compress:
+                with open(os.path.join(directory, fn), "wb") as f:
                     # one-shot zlib deflate in a gzip container: Python's
                     # streaming gzip.open writes measure ~20 MB/s here
                     co = zlib.compressobj(1, zlib.DEFLATED, 31)
                     f.write(co.compress(memoryview(mat[lo:hi])))
                     f.write(co.flush())
-                else:
-                    f.write(memoryview(mat[lo:hi]))
+            else:
+                # O_DIRECT when possible: buffered writes of GB shards run
+                # at page-cache-population speed (~12 MB/s on this host
+                # class) vs 0.5 GB/s direct (niqki_tpu/hostmem.py).
+                hostmem.write_direct(os.path.join(directory, fn), mat[lo:hi])
             nf = f"shard_{s:05d}.names"
             with open(os.path.join(directory, nf), "wb") as f:
                 f.write("\n".join(self.names[lo:hi]).encode())
@@ -569,7 +601,7 @@ class SketchIndex:
             stale_maximal_remainder=pp.get("stale_maximal_remainder")),
             backend=backend)
         F = idx.params.F
-        mat = np.empty((manifest["genomes"], F), np.int32)
+        mat = hostmem.big_empty((manifest["genomes"], F), np.int32)
         names: list[str] = []
         for sh in manifest["shards"]:
             path = os.path.join(directory, sh["file"])
@@ -584,8 +616,7 @@ class SketchIndex:
                     raw = zlib.decompress(f.read(), 31)
                 mat[lo:hi] = np.frombuffer(raw, np.int32).reshape(hi - lo, F)
             else:
-                with open(path, "rb") as f:
-                    f.readinto(memoryview(mat[lo:hi]))
+                hostmem.read_direct(path, mat[lo:hi])
             with open(os.path.join(directory, sh["names"]), "rb") as f:
                 blob = f.read().decode()
             names.extend(blob.split("\n") if hi > lo else [])

@@ -133,12 +133,19 @@ def available(F: int, W: int | None = None) -> bool:
 
 
 def pad_rows(mat16: np.ndarray, tile: int = TILE_G) -> np.ndarray:
-    """Pad index rows to a TILE_G multiple with the never-matching -2."""
+    """Pad index rows to a TILE_G multiple with the never-matching -2.
+
+    Hugepage-backed destination: a GB-scale np.vstack first-touches fresh
+    4K pages at ~22 MB/s on this host class (niqki_tpu/hostmem.py)."""
     G, F = mat16.shape
     Gp = -(-G // tile) * tile
     if Gp == G:
         return mat16
-    return np.vstack([mat16, np.full((Gp - G, F), -2, mat16.dtype)])
+    from ..hostmem import big_empty
+    out = big_empty((Gp, F), mat16.dtype)
+    out[:G] = mat16
+    out[G:] = -2
+    return out
 
 
 def build_index_planes(mat: np.ndarray, W: int, row_chunk: int = 16384):

@@ -133,9 +133,8 @@ def match_counts_pallas(q_sk, g_sk, block_q: int = 64,
     """
     g16 = np.asarray(g_sk, dtype=np.int16)
     G, F = g16.shape
-    Gp = -(-G // TILE_G) * TILE_G
-    if Gp != G:
-        g16 = np.vstack([g16, np.full((Gp - G, F), -2, np.int16)])
+    from .bcount import pad_rows
+    g16 = pad_rows(g16, tile=TILE_G)   # hugepage-backed -2 padding
     gp = jnp.asarray(pack_rows_np(g16))
     return match_counts_packed(np.asarray(q_sk, dtype=np.int16), gp, G,
                                block_q=block_q, interpret=interpret)

@@ -82,8 +82,13 @@ class ShardedIndex:
         if pad_g:
             # Padding rows of -2 can never match a fingerprint (valid range
             # [-1, 2^W)); they are sliced off the count output anyway.
-            mat = np.vstack([mat, np.full((pad_g, mat.shape[1]), -2,
-                                          np.int32)])
+            # Hugepage destination: GB-scale vstack is first-touch-bound
+            # on this host class (niqki_tpu/hostmem.py).
+            from ..hostmem import big_empty
+            padded = big_empty((self._Gp, mat.shape[1]), np.int32)
+            padded[:self.G] = mat
+            padded[self.G:] = -2
+            mat = padded
         if self._kernel == "packed":
             gp = pcount.pack_rows_np(mat.astype(np.int16))
             self._mat = jax.device_put(
