@@ -34,6 +34,7 @@
 #include <cstring>
 #include <new>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 #include <zlib.h>
@@ -300,8 +301,43 @@ struct Reader {
   std::vector<uint8_t> eff_fwd, eff_rc;
   std::vector<uint32_t> packed;
   std::vector<int32_t> exc;
+  // Chunked-read buffers (nq_reader_next_chunk): concatenated per-record
+  // arrays + prefix offsets, capacity retained across chunks.
+  std::vector<uint32_t> c_words;
+  std::vector<int64_t> c_word_off, c_n_bases, c_exc_off, c_header_off;
+  std::vector<int32_t> c_exc;
+  std::string c_headers;
   Reader(const char* path, int64_t k, bool fq) : lr(path), K(k), fastq(fq) {}
 };
+
+// 2-bit-packs r->seq, appending to the chunk buffers (same packing rules as
+// nq_reader_next_packed: seed-prefix zeroing, rc-exception positions).
+void pack_seq_into_chunk(Reader* r) {
+  const std::string& seq = r->seq;
+  const uint8_t* s = (const uint8_t*)seq.data();
+  const size_t n = seq.size();
+  const size_t w0 = r->c_words.size();
+  r->c_words.resize(w0 + (n + 15) / 16, 0);
+  uint32_t* w = r->c_words.data() + w0;
+  const size_t p = (size_t)r->K - 1;  // callers ensure seq longer than K
+  bool valid = true;
+  for (size_t i = 0; i < p && valid; ++i) valid = kLuts.seed[s[i]] != 255;
+  for (size_t i = 0; i < p; ++i) {
+    uint32_t c = valid ? kLuts.seed[s[i]] : 0;
+    w[i >> 4] |= c << (2 * (i & 15));
+  }
+  for (size_t i = p; i < n; ++i) {
+    const uint8_t ch = s[i];
+    w[i >> 4] |= (uint32_t)kLuts.fwd[ch] << (2 * (i & 15));
+    if (kLuts.seed[ch] == 255 || (ch >= 'a'))  // not uppercase ACGT
+      r->c_exc.push_back((int32_t)i);
+  }
+  r->c_word_off.push_back((int64_t)r->c_words.size());
+  r->c_exc_off.push_back((int64_t)r->c_exc.size());
+  r->c_n_bases.push_back((int64_t)n);
+  r->c_headers.append(r->header);
+  r->c_header_off.push_back((int64_t)r->c_headers.size());
+}
 
 // Reads the next raw record (any length) into r->header / r->seq.
 // Returns false at EOF.
@@ -382,6 +418,49 @@ int nq_reader_next(void* handle, const char** header, int64_t* header_len,
 
 void nq_reader_close(void* handle) { delete (Reader*)handle; }
 
+// Chunked packed reads: up to max_records records (len > K) totalling up to
+// max_bases bases in ONE call, emitted as concatenated arrays + prefix
+// offsets (word_off/exc_off/header_off have n+1 entries, leading 0). The
+// per-record ctypes round-trip of nq_reader_next_packed measured ~20 us of
+// Python per record — at read scale (150 bp) that is 10x the C++ work.
+// Pointers remain valid until the next call on this handle (or close).
+// Returns the number of records (0 = EOF).
+int64_t nq_reader_next_chunk(void* handle, int64_t max_records,
+                             int64_t max_bases, const uint32_t** words,
+                             const int64_t** word_off, const int64_t** n_bases,
+                             const int32_t** exc, const int64_t** exc_off,
+                             const char** headers,
+                             const int64_t** header_off) {
+  Reader* r = (Reader*)handle;
+  r->c_words.clear();
+  r->c_exc.clear();
+  r->c_headers.clear();
+  r->c_word_off.assign(1, 0);
+  r->c_exc_off.assign(1, 0);
+  r->c_header_off.assign(1, 0);
+  r->c_n_bases.clear();
+  int64_t nrec = 0, bases = 0;
+  while (nrec < max_records && bases < max_bases) {
+    // Same record-skip semantics as nq_reader_next_packed.
+    if (!next_raw_record(r)) break;
+    if ((int64_t)r->seq.size() <= r->K) {
+      if (!r->fastq && r->pending_header.empty() && r->lr.at_eof()) break;
+      continue;
+    }
+    pack_seq_into_chunk(r);
+    ++nrec;
+    bases += (int64_t)r->seq.size();
+  }
+  *words = r->c_words.data();
+  *word_off = r->c_word_off.data();
+  *n_bases = r->c_n_bases.data();
+  *exc = r->c_exc.data();
+  *exc_off = r->c_exc_off.data();
+  *headers = r->c_headers.data();
+  *header_off = r->c_header_off.data();
+  return nrec;
+}
+
 // Packed variant of nq_reader_next: emits the forward codes 2-bit-packed
 // (base i in bits [2*(i%16), 2*(i%16)+2) of word i/16, little-endian) plus
 // the list of "rc exceptions" — positions i >= K-1 whose character is not in
@@ -430,25 +509,68 @@ int nq_reader_next_packed(void* handle, const char** header,
 
 // ---------------------------------------------------------------------------
 // Sequential one-permutation-hashing densification, in place on sketch[F]
-// (int32, -1 = empty). Bit-exact with niqki_tpu.oracle.densify.
+// (int32, -1 = empty). Bit-exact with niqki_tpu.oracle.densify (the
+// straightforward rendering of /root/reference/src/niqki_index.cpp:313-331).
+//
+// Algebraic reduction of the reference scan, exactness argument:
+//   * The probe target is a function of the slot's VALUE only:
+//     t(v, step) = (unrevhash64(v) + step*revhash64(v)) mod F. Every slot
+//     holding v probes the same t within a pass, and t's state can only go
+//     empty -> filled, so only the FIRST slot (lowest index) holding v can
+//     ever fill — later copies find t occupied.
+//   * A slot filled mid-pass holds value v and, if scanned later the same
+//     pass, probes t(v, step) = its own (now filled) slot: a guaranteed
+//     no-op. So in-pass fills never enable further in-pass fills.
+//   Hence one pass == iterate the DISTINCT values in ascending order of
+//   their first-occurrence slot, one probe each. Hashes are computed once
+//   per value instead of per slot per pass, and F is a power of two
+//   (F = 2^lF everywhere), so mod becomes a mask. ~50x fewer ops at
+//   short-read shapes with an identical fill sequence.
 void nq_densify(int32_t* sketch, int64_t F) {
   int64_t empty = 0;
   for (int64_t i = 0; i < F; ++i) empty += sketch[i] == -1;
   if (empty == 0 || empty == F) return;
-  for (uint64_t step = 0; empty != 0; ++step) {
-    int64_t filled = 0;
-    bool movable = false;  // any value whose probe target varies with step
+  const bool pow2 = (F & (F - 1)) == 0;
+  const uint64_t mask = (uint64_t)F - 1;
+
+  struct Entry {
+    int64_t min_idx;  // first-occurrence slot (updated as copies appear)
+    uint64_t u, r;    // unrevhash64(v), revhash64(v)
+    int32_t v;
+  };
+  std::vector<Entry> ents;
+  ents.reserve(64);
+  {
+    std::unordered_map<int32_t, size_t> seen;
+    seen.reserve(128);
     for (int64_t i = 0; i < F; ++i) {
       int32_t v = sketch[i];
       if (v == -1) continue;
-      uint64_t uv = (uint64_t)(int64_t)v;
-      uint64_t r = revhash64(uv);
-      movable |= (r % (uint64_t)F) != 0;
-      uint64_t t = (unrevhash64(uv) + step * r) % (uint64_t)F;
+      auto ins = seen.emplace(v, ents.size());
+      if (ins.second) {
+        uint64_t uv = (uint64_t)(int64_t)v;
+        ents.push_back({i, unrevhash64(uv), revhash64(uv), v});
+      }
+    }
+  }
+  bool movable = false;  // any value whose probe target varies with step
+  for (const Entry& e : ents)
+    movable |= (pow2 ? (e.r & mask) : (e.r % (uint64_t)F)) != 0;
+
+  for (uint64_t step = 0;; ++step) {
+    int64_t filled = 0;
+    bool reorder = false;
+    for (Entry& e : ents) {
+      uint64_t probe = e.u + step * e.r;
+      uint64_t t = pow2 ? (probe & mask) : (probe % (uint64_t)F);
       if (sketch[t] == -1) {
-        sketch[t] = v;
+        sketch[t] = e.v;
         ++filled;
         if (--empty == 0) return;
+        if ((int64_t)t < e.min_idx) {
+          e.min_idx = (int64_t)t;
+          reorder = true;  // scan order for later passes changed
+        }
       }
     }
     // Termination divergence (documented): the reference loops forever when
@@ -457,6 +579,11 @@ void nq_densify(int32_t* sketch, int64_t F) {
     // unrevhash64(0) == 0 pins every probe to slot 0. A zero-fill pass with
     // no movable value can never change; a pass cap backstops the rest.
     if (filled == 0 && (!movable || step > 4 * (uint64_t)F)) return;
+    if (reorder)
+      std::stable_sort(ents.begin(), ents.end(),
+                       [](const Entry& a, const Entry& b) {
+                         return a.min_idx < b.min_idx;
+                       });
   }
 }
 
@@ -543,6 +670,93 @@ void nq_sketch_packed_batch(const uint32_t* words, const int64_t* word_off,
   }
 }
 
+// Dense equality-count on the host: out[i*G+g] = |{f : q[i*F+f] == mat[g*F+f]}|
+// for Q query sketches against G index rows. This is the same reduction the
+// device kernels compute (ops/count.py et al.), bit-identical by
+// construction; it exists because at small G the device call is pure
+// overhead (a (Q,F) transfer + dispatch to count against a few rows), while
+// the host's whole working set is Q*F reads with the index resident in L2.
+// Query-side sanitization is folded in: fingerprints outside [0, fp_range)
+// never scan a bucket in the reference (query_sketch's range guard,
+// /root/reference/src/niqki_index.cpp:638), so they match nothing — callers
+// pass the RAW query sketch (-1 empties included) and the stored-side matrix
+// with its own out-of-range slots already mapped to -2 (index._stored).
+// Single-threaded; callers parallelize over Q blocks (ctypes releases the
+// GIL). The inner loop autovectorizes to pcmpeqd/psubd.
+void nq_count_eq(const int32_t* q, int64_t Q, const int32_t* mat, int64_t G,
+                 int64_t F, int64_t fp_range, int32_t* out) {
+  std::vector<int32_t> row((size_t)F);
+  for (int64_t i = 0; i < Q; ++i) {
+    const int32_t* qr = q + i * F;
+    for (int64_t f = 0; f < F; ++f) {
+      const int32_t v = qr[f];
+      row[(size_t)f] = ((uint32_t)v < (uint32_t)fp_range) ? v : -3;
+    }
+    for (int64_t g = 0; g < G; ++g) {
+      const int32_t* mr = mat + g * F;
+      int32_t c = 0;
+      for (int64_t f = 0; f < F; ++f) c += row[(size_t)f] == mr[f];
+      out[i * G + g] = c;
+    }
+  }
+}
+
+// Formats pretty-hit rows for a whole counts block in one call:
+//   "<header> <name>:<jac> <name>:<jac> ... \n"  per row (trailing space),
+// hits = gids with counts[b,g] >= min_score, ordered count desc then gid
+// desc, jac = count/F printed like C++ `ostream << double` (= %.6g) —
+// byte-identical with io.writers.write_pretty_hits + index.hits_from_counts
+// (/root/reference/src/niqki_index.cpp:544-553, 633-687 ordering). The
+// count/F strings are cached per count value (there are only F+1 of them).
+// Returns bytes written, or -1 if out_cap would overflow (caller sizes
+// out_cap from the counted hits, so -1 is a bug guard).
+int64_t nq_format_hits(const int32_t* counts, int64_t B, int64_t G,
+                       int64_t min_score, int64_t F, const char* names,
+                       const int64_t* name_off, const char* headers,
+                       const int64_t* header_off, char* out,
+                       int64_t out_cap) {
+  std::vector<std::string> jac((size_t)F + 1);
+  std::vector<bool> jac_set((size_t)F + 1, false);
+  std::vector<std::pair<int32_t, int32_t>> hits;
+  char* w = out;
+  char* end = out + out_cap;
+  for (int64_t b = 0; b < B; ++b) {
+    const int32_t* row = counts + b * G;
+    hits.clear();
+    for (int64_t g = 0; g < G; ++g)
+      if (row[g] >= min_score) hits.emplace_back(row[g], (int32_t)g);
+    // count desc, then gid desc == std::greater on the (count, gid) pair
+    std::sort(hits.begin(), hits.end(),
+              std::greater<std::pair<int32_t, int32_t>>());
+    const int64_t hlen = header_off[b + 1] - header_off[b];
+    if (end - w < hlen + 2) return -1;
+    std::memcpy(w, headers + header_off[b], (size_t)hlen);
+    w += hlen;
+    *w++ = ' ';
+    for (const auto& h : hits) {
+      const int32_t c = h.first, g = h.second;
+      if (c < 0 || c > F) return -1;  // counts are in [0, F] by construction
+      if (!jac_set[(size_t)c]) {
+        char buf[32];
+        int n = std::snprintf(buf, sizeof buf, "%.6g", (double)c / (double)F);
+        jac[(size_t)c].assign(buf, (size_t)n);
+        jac_set[(size_t)c] = true;
+      }
+      const std::string& js = jac[(size_t)c];
+      const int64_t nlen = name_off[g + 1] - name_off[g];
+      if (end - w < nlen + (int64_t)js.size() + 3) return -1;
+      std::memcpy(w, names + name_off[g], (size_t)nlen);
+      w += nlen;
+      *w++ = ':';
+      std::memcpy(w, js.data(), js.size());
+      w += js.size();
+      *w++ = ' ';
+    }
+    *w++ = '\n';
+  }
+  return w - out;
+}
+
 // Scans a NIQKI dump's bucket stream (the uint32 words after the 24-byte
 // header): per bucket a size word followed by that many gid words. Fills
 // sizes[n_buckets] and returns the total gid count, or -1 if the stream is
@@ -592,6 +806,6 @@ int64_t nq_scan_dump_stream(const uint32_t* words, int64_t n_words,
 }
 
 // Version tag so the Python wrapper can detect ABI drift.
-int64_t nq_abi_version() { return 5; }
+int64_t nq_abi_version() { return 6; }
 
 }  // extern "C"

@@ -87,10 +87,20 @@ def query_file_lines(index: SketchIndex, path: str, out: GzTextWriter,
         return
     # Streamed with bounded memory (two record chunks in flight); on a
     # device backend the whole chunk fuses sketch+densify+count on device
-    # and only (n, G) counts come back. Rows stream in file order.
+    # and only (n, G) counts come back. Rows stream in file order. Pretty
+    # rows format natively per chunk (hit extraction + %.6g of a 32k-read
+    # block measured ~1.5s of Python per 100k reads).
+    from . import native
     from .index import hits_from_counts_batch
+    fmt = None
+    if pretty and native.available():
+        fmt = native.HitsFormatter(index.names, index.params.F,
+                                   index.params.min_score)
     for part, counts in index.query_counts_stream(
             index._iter_packed_with_headers(path), batch):
+        if fmt is not None:
+            out.write(fmt.format(counts, [r[0] for r in part]))
+            continue
         all_hits = hits_from_counts_batch(counts, index.params.min_score)
         for r, hits in zip(part, all_hits):
             if pretty:

@@ -234,7 +234,7 @@ class SketchIndex:
         a true stream: nothing beyond the current record is materialized."""
         p = self.params
         if native.available():
-            yield from native.read_packed_records(path, p.K)
+            yield from native.read_packed_records_chunked(path, p.K)
             return
         from .ops.sketch import pack_codes
         for h, s in read_records(path, p.K):
@@ -449,10 +449,11 @@ class SketchIndex:
     # querying
     def counts(self, q_sketches: np.ndarray) -> np.ndarray:
         """Hit counts (Q, G) for a batch of query sketches (Q, F)."""
-        q = self._query_side(np.atleast_2d(np.asarray(q_sketches, np.int32)))
+        raw = np.atleast_2d(np.asarray(q_sketches, np.int32))
         if self.G == 0:
-            return np.zeros((len(q), 0), np.int32)
+            return np.zeros((len(raw), 0), np.int32)
         if self.backend == "numpy":
+            q = self._query_side(raw)
             mat = self._stored()
             out = np.empty((len(q), self.G), np.int32)
             for i, row in enumerate(q):
@@ -470,12 +471,25 @@ class SketchIndex:
             if self._sharded is None or self._sharded.G != self.G:
                 from .parallel.serving import ShardedIndex
                 self._sharded = ShardedIndex(self, mesh)
-            return self._sharded.counts(q)
+            return self._sharded.counts(self._query_side(raw))
         # Kernel routing: bit-plane Pallas kernel for big indexes (the ~5x
         # arithmetic-intensity win only matters when the index dominates),
-        # pair-packed pcount as fallback, XLA broadcast-compare otherwise.
-        # NIQKI_TPU_COUNT = auto|bcount|bcount-interpret|pcount|xla.
+        # pair-packed pcount as fallback, XLA broadcast-compare otherwise;
+        # SMALL indexes count on the host (the device call is pure overhead
+        # when G rows fit in L2 — a (Q,F) transfer + dispatch to count
+        # against a handful of rows; at read scale that transfer alone was
+        # 3s per 32k-read chunk on the remote transport).
+        # NIQKI_TPU_COUNT = auto|host|bcount|bcount-interpret|pcount|xla;
+        # NIQKI_TPU_HOST_COUNT_G bounds the auto host route (default 2048).
         mode = os.environ.get("NIQKI_TPU_COUNT", "auto")
+        host_max_g = int(os.environ.get("NIQKI_TPU_HOST_COUNT_G", "2048"))
+        if native.available() and (
+                mode == "host" or (mode == "auto" and self.G <= host_max_g)):
+            # Raw q (not _query_side): nq_count_eq applies the range guard
+            # in C++, so no sanitized (Q, F) copy is ever materialized.
+            return native.count_eq(np.ascontiguousarray(raw), self._stored(),
+                                   self.params.fingerprint_range)
+        q = self._query_side(raw)
         if os.environ.get("NIQKI_TPU_NO_PCOUNT"):
             mode = "xla"
         interp = mode == "bcount-interpret"
@@ -510,8 +524,16 @@ class SketchIndex:
         """Yield (records_chunk, (n, G) counts) pairs from a packed-record
         stream, one batched count call per chunk, bounded memory."""
         for part, sks in self._sketch_stream(rec_iter, chunk_records):
-            yield part, (self.counts(np.stack(sks)) if sks
-                         else np.zeros((0, self.G), np.int32))
+            if not sks:
+                yield part, np.zeros((0, self.G), np.int32)
+                continue
+            # Stack into a hugepage-backed buffer: np.stack of a 32k-read
+            # chunk first-touches ~134 MB of fresh pages (~6-22 MB/s on
+            # this host class; hostmem.py).
+            q = hostmem.big_empty((len(sks), self.params.F), np.int32)
+            for i, s in enumerate(sks):
+                q[i] = s
+            yield part, self.counts(q)
 
     def hits_from_counts(self, c: np.ndarray) -> list[tuple[int, int]]:
         return hits_from_counts(c, self.params.min_score)

@@ -106,9 +106,32 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    lib.nq_reader_next_chunk.restype = ctypes.c_int64
+    lib.nq_reader_next_chunk.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_void_p)]
+    lib.nq_count_eq.restype = None
+    lib.nq_count_eq.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    lib.nq_format_hits.restype = ctypes.c_int64
+    lib.nq_format_hits.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_char_p, ctypes.c_int64]
     lib.nq_abi_version.restype = ctypes.c_int64
     lib.nq_abi_version.argtypes = []
-    if lib.nq_abi_version() != 5:
+    if lib.nq_abi_version() != 6:
         return None
     _lib = lib
     return _lib
@@ -200,6 +223,68 @@ def read_packed_records(path: str, K: int,
         lib.nq_reader_close(h)
 
 
+def _as_np(ptr, n, ctype, np_dtype):
+    if n == 0:
+        return np.zeros(0, np_dtype)
+    return np.ctypeslib.as_array(
+        ctypes.cast(ptr, ctypes.POINTER(ctype)), (n,)).astype(np_dtype,
+                                                              copy=True)
+
+
+def read_packed_records_chunked(path: str, K: int, ftype: str | None = None,
+                                max_records: int = 1 << 15,
+                                max_bases: int = 1 << 26):
+    """Yield (header, packed_words, n_bases, exc_idx) per record like
+    read_packed_records, but via chunked native reads: ONE ctypes call per
+    ~max_records records, with per-record numpy views into the chunk's
+    concatenated buffers (the per-record ctypes round-trip measured ~20 us
+    of Python per record — 10x the C++ work at 150 bp read scale)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ft = {None: 0, "A": 1, "Q": 2}[ftype]
+    h = lib.nq_reader_open(path.encode(), K, ft)
+    if not h:
+        raise OSError(f"cannot open {path}")
+    try:
+        pw = ctypes.c_void_p()
+        pwo = ctypes.c_void_p()
+        pnb = ctypes.c_void_p()
+        pe = ctypes.c_void_p()
+        peo = ctypes.c_void_p()
+        ph = ctypes.c_char_p()
+        pho = ctypes.c_void_p()
+        while True:
+            n = lib.nq_reader_next_chunk(
+                h, max_records, max_bases, ctypes.byref(pw),
+                ctypes.byref(pwo), ctypes.byref(pnb), ctypes.byref(pe),
+                ctypes.byref(peo), ctypes.byref(ph), ctypes.byref(pho))
+            if n == 0:
+                return
+            word_off = _as_np(pwo, n + 1, ctypes.c_int64, np.int64)
+            n_bases = _as_np(pnb, n, ctypes.c_int64, np.int64)
+            exc_off = _as_np(peo, n + 1, ctypes.c_int64, np.int64)
+            header_off = _as_np(pho, n + 1, ctypes.c_int64, np.int64)
+            nw, ne = int(word_off[-1]), int(exc_off[-1])
+            if nw * 4 >= (1 << 21):
+                from . import hostmem
+                words = hostmem.big_empty((nw,), np.uint32)
+                np.copyto(words, np.ctypeslib.as_array(
+                    ctypes.cast(pw, ctypes.POINTER(ctypes.c_uint32)), (nw,)))
+            else:
+                words = _as_np(pw, nw, ctypes.c_uint32, np.uint32)
+            exc = _as_np(pe, ne, ctypes.c_int32, np.int32)
+            headers = ctypes.string_at(ph, int(header_off[-1]))
+            for i in range(n):
+                yield (headers[header_off[i]:header_off[i + 1]].decode(
+                           "utf-8", "replace"),
+                       words[word_off[i]:word_off[i + 1]],
+                       int(n_bases[i]),
+                       exc[exc_off[i]:exc_off[i + 1]])
+    finally:
+        lib.nq_reader_close(h)
+
+
 def sketch_packed_batch(recs, lF: int, K: int, W: int, H: int,
                         mask_M: int | None = None,
                         max_rem: int | None = None) -> np.ndarray:
@@ -215,7 +300,15 @@ def sketch_packed_batch(recs, lF: int, K: int, W: int, H: int,
     if max_rem is None:
         max_rem = (1 << H) - 1
     B = len(recs)
-    out = np.empty((B, 1 << lF), np.int32)
+    F = 1 << lF
+    if B * F * 4 >= (1 << 21):
+        # Fresh np.empty pages first-touch at ~6-22 MB/s on this host class
+        # (the C++ write loop would eat ~600 us/record in page faults at
+        # read scale); hugepage-backed buffers fault at 1+ GB/s.
+        from . import hostmem
+        out = hostmem.big_empty((B, F), np.int32)
+    else:
+        out = np.empty((B, F), np.int32)
     if B == 0:
         return out
     words = np.concatenate([np.ascontiguousarray(r[0], np.uint32)
@@ -231,6 +324,81 @@ def sketch_packed_batch(recs, lF: int, K: int, W: int, H: int,
     lib.nq_sketch_packed_batch(words, word_off, n_bases, exc, exc_off,
                                B, K, lF, W, H, mask_M, max_rem, out)
     return out
+
+
+def count_eq(q: np.ndarray, mat: np.ndarray, fp_range: int,
+             threads: int | None = None) -> np.ndarray:
+    """Host equality counts: (Q, G) int32 of per-slot fingerprint matches of
+    q (Q, F) against mat (G, F), with the reference's query-side range guard
+    (out-of-range query fingerprints match nothing) applied in C++.
+
+    q is the RAW query sketch batch (-1 empties included); mat is the
+    stored-side matrix (index._stored(): its bad slots are already -2).
+    Bit-identical with the XLA/Pallas count kernels. Parallelized over Q
+    blocks on a thread pool (the C call releases the GIL)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    q = np.ascontiguousarray(q, np.int32)
+    mat = np.ascontiguousarray(mat, np.int32)
+    Q, F = q.shape
+    G = mat.shape[0]
+    assert mat.shape[1] == F
+    out = np.empty((Q, G), np.int32)
+    if Q == 0 or G == 0:
+        return out
+    threads = threads or min(8, os.cpu_count() or 1)
+    block = max(64, -(-Q // threads))
+    if Q <= block:
+        lib.nq_count_eq(q, Q, mat, G, F, fp_range, out)
+        return out
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(lo: int) -> None:
+        hi = min(lo + block, Q)
+        lib.nq_count_eq(q[lo:hi], hi - lo, mat, G, F, fp_range, out[lo:hi])
+
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(run, range(0, Q, block)))
+    return out
+
+
+class HitsFormatter:
+    """Formats pretty-hit rows for counts blocks in C++ — byte-identical
+    with write_pretty_hits(index.hits_from_counts(...)) but ~30x faster at
+    read scale (no per-hit Python tuples or %-formatting). Caches the
+    genome-name blob across blocks."""
+
+    def __init__(self, names, F: int, min_score: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.F = F
+        self.min_score = min_score
+        blobs = [str(n).encode() for n in names]
+        self._names = b"".join(blobs)
+        self._name_off = np.zeros(len(blobs) + 1, np.int64)
+        np.cumsum([len(b) for b in blobs], out=self._name_off[1:])
+        self._max_name = max((len(b) for b in blobs), default=0)
+
+    def format(self, counts: np.ndarray, headers: list[str]) -> bytes:
+        counts = np.ascontiguousarray(counts, np.int32)
+        B, G = counts.shape
+        assert G + 1 == len(self._name_off) and B == len(headers)
+        hb = [h.encode() for h in headers]
+        hblob = b"".join(hb)
+        hoff = np.zeros(B + 1, np.int64)
+        np.cumsum([len(b) for b in hb], out=hoff[1:])
+        nhits = int((counts >= self.min_score).sum())
+        cap = len(hblob) + 2 * B + nhits * (self._max_name + 16) + 64
+        out = ctypes.create_string_buffer(cap)
+        n = self._lib.nq_format_hits(counts, B, G, self.min_score, self.F,
+                                     self._names, self._name_off, hblob,
+                                     hoff, out, cap)
+        if n < 0:
+            raise RuntimeError("nq_format_hits capacity underestimated")
+        return out.raw[:n]
 
 
 def densify(sketch: np.ndarray) -> None:

@@ -119,3 +119,89 @@ def test_cpu_sketcher_whole_genome():
     want = oracle.sketch_records(
         [s for _, s in read_records(ECOLI, p.K)], p)
     assert np.array_equal(sk, want)
+
+
+def test_densify_matches_oracle_randomized():
+    """The by-distinct-value densify reduction vs the oracle's literal
+    sequential scan, across fill densities, duplicate-heavy values, zeros
+    (the pinned-probe case), and multiple F/W shapes."""
+    rng = np.random.default_rng(42)
+    for trial in range(120):
+        lF = int(rng.integers(3, 9))
+        W = int(rng.integers(4, 15))
+        p = SketchParams(lF=lF, W=W, K=31, H=4)
+        nfill = int(rng.integers(0, p.F + 1))
+        sk = np.full(p.F, -1, np.int32)
+        if nfill:
+            slots = rng.choice(p.F, nfill, replace=False)
+            vals = (rng.integers(0, 4, nfill) if rng.random() < 0.3
+                    else rng.integers(0, 1 << W, nfill))
+            sk[slots] = vals
+        a, b = sk.copy(), sk.copy()
+        native.densify(a)
+        oracle.densify(b, p)
+        assert np.array_equal(a, b), (trial, lF, W, nfill)
+
+
+def test_count_eq_matches_numpy_backend():
+    """Host equality counts vs the numpy-backend path, including
+    out-of-range fingerprints on both sides (query side is sanitized
+    inside nq_count_eq; stored side by index._stored)."""
+    from niqki_tpu.index import SketchIndex
+    rng = np.random.default_rng(7)
+    p = SketchParams(lF=7, W=10)
+    idx = SketchIndex(p, backend="numpy")
+    for g in range(23):
+        sk = rng.integers(-1, p.fingerprint_range + 100, p.F).astype(np.int32)
+        idx.insert_sketch(sk, f"g{g}")
+    q = rng.integers(-5, p.fingerprint_range + 100, (61, p.F)).astype(np.int32)
+    want = idx.counts(q)
+    got = native.count_eq(q, idx._stored(), p.fingerprint_range)
+    assert np.array_equal(want, got)
+
+
+def test_hits_formatter_matches_python_writer():
+    """nq_format_hits vs write_pretty_hits + hits_from_counts_batch,
+    byte-for-byte (ordering: count desc then gid desc; %.6g floats;
+    trailing space before newline)."""
+    from niqki_tpu.index import hits_from_counts_batch
+    from niqki_tpu.io.writers import write_pretty_hits
+
+    class Buf:
+        def __init__(self):
+            self.b = bytearray()
+
+        def write(self, s):
+            self.b += s.encode() if isinstance(s, str) else s
+
+    rng = np.random.default_rng(3)
+    for trial in range(25):
+        B = int(rng.integers(1, 40))
+        G = int(rng.integers(1, 30))
+        F = int(2 ** rng.integers(3, 16))
+        ms = int(rng.integers(0, F // 2 + 1))
+        counts = rng.integers(0, F + 1, (B, G)).astype(np.int32)
+        names = [f"genome_{i}.fa.gz" for i in range(G)]
+        headers = [f"@read{i}/xx" for i in range(B)]
+        ref = Buf()
+        for h, hits in zip(headers, hits_from_counts_batch(counts, ms)):
+            write_pretty_hits(ref, h, hits, names, F)
+        fmt = native.HitsFormatter(names, F, ms)
+        assert bytes(ref.b) == fmt.format(counts, headers), trial
+
+
+@pytest.mark.parametrize("path,K", [
+    (FIXDIR + "/tiny1.fa", 21),
+    (FIXDIR + "/multi.fa", 21),
+    (FIXDIR + "/tiny.fq", 21),
+    pytest.param(ECOLI, 31, marks=needs_ref),
+])
+def test_chunked_reader_matches_per_record(path, K):
+    a = list(native.read_packed_records(path, K))
+    for max_records in (1, 3, 1 << 15):
+        b = list(native.read_packed_records_chunked(
+            path, K, max_records=max_records))
+        assert len(a) == len(b)
+        for (h1, w1, n1, e1), (h2, w2, n2, e2) in zip(a, b):
+            assert h1 == h2 and n1 == n2
+            assert np.array_equal(w1, w2) and np.array_equal(e1, e2)
