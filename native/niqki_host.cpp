@@ -601,10 +601,22 @@ void nq_sketch_codes(const uint8_t* eff_fwd, const uint8_t* eff_rc, int64_t n,
   const int64_t nk = n - K;
   if (nk <= 0) return;
   const int M = (int)(W - H);
-  const int32_t max_rem = (int32_t)max_rem_in;
+  const int64_t max_rem = max_rem_in;
   const uint64_t mask_M = (uint64_t)mask_M_in;
   const uint64_t mask2K = (2 * K < 64) ? ((1ULL << (2 * K)) - 1) : ~0ULL;
   const int rc_top = (int)(2 * (K - 1));
+
+  // Staged for throughput: the fused rolling+hash loop measured ~46
+  // cycles/base (the two dependent 64-bit hash chains defeat the OoO
+  // window when interleaved with the rolling state and the table
+  // branch). Split into (A) the sequential-but-cheap canonical roll into
+  // a block buffer, (B) a branch-free independent-iteration hash /
+  // fingerprint / slot loop the compiler vectorizes (AVX-512DQ vpmullq +
+  // vplzcntq 8-wide on this host), and (C) the scalar min-scatter.
+  constexpr int64_t B = 2048;  // 3 x 16 KB block buffers: L1/L2-resident
+  uint64_t canon[B];
+  uint64_t slot[B];
+  int64_t fp[B];
 
   // Seed the rolling states with the first K-1 bases; window i covers
   // [i, i+K).  fwd has codes[i] in the top 2 bits, rc in the bottom.
@@ -613,16 +625,25 @@ void nq_sketch_codes(const uint8_t* eff_fwd, const uint8_t* eff_rc, int64_t n,
     fwd = (fwd << 2) | eff_fwd[j];
     rc = (rc >> 2) | ((uint64_t)eff_rc[j] << rc_top);
   }
-  for (int64_t i = 0; i < nk; ++i) {
-    fwd = ((fwd << 2) | eff_fwd[i + K - 1]) & mask2K;
-    rc = (rc >> 2) | ((uint64_t)eff_rc[i + K - 1] << rc_top);
-    const uint64_t canon = fwd < rc ? fwd : rc;
-    const uint64_t h = revhash64(canon);
-    const uint64_t slot = unrevhash64(canon) >> (64 - lF);
-    int32_t rem = max_rem - clz64(h);
-    if (rem < 0) rem = 0;
-    const int32_t fp = (int32_t)(rem << M) + (int32_t)(h & mask_M);
-    if (fp < table[slot]) table[slot] = fp;
+  for (int64_t lo = 0; lo < nk; lo += B) {
+    const int64_t m = (nk - lo < B) ? nk - lo : B;
+    for (int64_t i = 0; i < m; ++i) {  // (A) roll
+      fwd = ((fwd << 2) | eff_fwd[lo + i + K - 1]) & mask2K;
+      rc = (rc >> 2) | ((uint64_t)eff_rc[lo + i + K - 1] << rc_top);
+      canon[i] = fwd < rc ? fwd : rc;
+    }
+    for (int64_t i = 0; i < m; ++i) {  // (B) hash, vectorized
+      const uint64_t h = revhash64(canon[i]);
+      slot[i] = unrevhash64(canon[i]) >> (64 - lF);
+      int64_t rem = max_rem - clz64(h);
+      rem = rem < 0 ? 0 : rem;
+      fp[i] = (int64_t)(int32_t)((uint32_t)(rem << M) +
+                                 (uint32_t)(h & mask_M));
+    }
+    for (int64_t i = 0; i < m; ++i) {  // (C) min-scatter
+      const int32_t f = (int32_t)fp[i];
+      if (f < table[slot[i]]) table[slot[i]] = f;
+    }
   }
 }
 
@@ -698,6 +719,50 @@ void nq_count_eq(const int32_t* q, int64_t Q, const int32_t* mat, int64_t G,
       for (int64_t f = 0; f < F; ++f) c += row[(size_t)f] == mr[f];
       out[i * G + g] = c;
     }
+  }
+}
+
+// Whole-file sketch over a file's packed records in ONE call, reproducing
+// the reference's multi-record accumulation exactly: compute_sketch is
+// re-called on the SAME vector per record and densifies after each one, so
+// densified fillers from earlier records participate in later records' mins
+// (/root/reference/src/niqki_index.cpp:442-456, 335-358). out receives the
+// final (F,) int32 sketch (-1 = empty). Layout matches
+// nq_sketch_packed_batch (concatenated arrays + prefix offsets).
+void nq_sketch_packed_whole(const uint32_t* words, const int64_t* word_off,
+                            const int64_t* n_bases, const int32_t* exc,
+                            const int64_t* exc_off, int64_t n_records,
+                            int64_t K, int64_t lF, int64_t W, int64_t H,
+                            int64_t mask_M, int64_t max_rem, int32_t* out) {
+  const int64_t F = 1LL << lF;
+  const int32_t kEmpty = INT32_MAX;
+  std::fill(out, out + F, -1);
+  std::vector<uint8_t> fwd, rc;
+  std::vector<int32_t> tmp((size_t)F);
+  for (int64_t r = 0; r < n_records; ++r) {
+    const int64_t n = n_bases[r];
+    if (n - K <= 0) continue;
+    fwd.resize((size_t)n);
+    rc.resize((size_t)n);
+    const uint32_t* w = words + word_off[r];
+    for (int64_t i = 0; i < n; ++i) {
+      const uint8_t c = (uint8_t)((w[i >> 4] >> (2 * (i & 15))) & 3u);
+      fwd[(size_t)i] = c;
+      rc[(size_t)i] = (uint8_t)(3 - c);
+    }
+    for (int64_t e = exc_off[r]; e < exc_off[r + 1]; ++e)
+      rc[(size_t)exc[e]] = 0;
+    std::fill(tmp.begin(), tmp.end(), kEmpty);
+    nq_sketch_codes(fwd.data(), rc.data(), n, K, lF, W, H, mask_M, max_rem,
+                    tmp.data());
+    // min-merge the record table into the accumulating sketch, then
+    // densify the merged sketch (per record, like the reference).
+    for (int64_t f = 0; f < F; ++f) {
+      const int32_t cur = out[f] == -1 ? kEmpty : out[f];
+      const int32_t m = cur < tmp[(size_t)f] ? cur : tmp[(size_t)f];
+      out[f] = m == kEmpty ? -1 : m;
+    }
+    nq_densify(out, F);
   }
 }
 

@@ -97,7 +97,36 @@ class SketchIndex:
             _densify(sketch, p)
         return sketch
 
+    def _host_sketch_route(self) -> bool:
+        """Whole-file sketching on the host (staged AVX-512 rolling sketcher,
+        ~250 Mbp/s/thread) instead of the device kernel. Auto-on when the
+        device transport is the remote tunnel: its ~46 MB/s h2d moves the
+        2-bit wire at 184 Mbp/s — slower than ONE host thread, so shipping
+        bases to the chip can only lose. NIQKI_TPU_SKETCH=host|device
+        overrides."""
+        mode = os.environ.get("NIQKI_TPU_SKETCH", "auto")
+        if mode == "device" or self.backend == "numpy":
+            return False
+        if not native.available():
+            return False
+        if mode == "host":
+            return True
+        try:
+            import jax
+            return jax.devices()[0].platform == "axon"
+        except Exception:
+            return True
+
+    def _host_sketch_whole(self, recs) -> np.ndarray:
+        p = self.params
+        return native.sketch_packed_whole(
+            recs, p.lF, p.K, p.W, p.H, p.mask_M, p.maximal_remainder)
+
     def sketch_file(self, path: str) -> np.ndarray:
+        if self._host_sketch_route():
+            return self._host_sketch_whole(
+                [(w, n, e) for _, w, n, e
+                 in native.read_packed_records_chunked(path, self.params.K)])
         return self.sketch_records(s for _, s in read_records(path, self.params.K))
 
     # ------------------------------------------------------------------
@@ -163,6 +192,16 @@ class SketchIndex:
         paths = list(paths)
         if self.backend == "numpy":
             return [self.sketch_file(p) for p in paths]
+        if self._host_sketch_route():
+            # Host route: each file's load + whole-file sketch chains in one
+            # pool task (decode ~230 Mbp/s/thread, staged sketcher ~250);
+            # at most the pool's width of files is ever in flight.
+            io_threads = io_threads or min(8, os.cpu_count() or 1)
+            with ThreadPoolExecutor(max_workers=io_threads) as pool:
+                futs = [pool.submit(
+                    lambda pa=pa: self._host_sketch_whole(
+                        self._load_packed(pa))) for pa in paths]
+                return [f.result() for f in futs]
         from .ops.sketch import dispatch_sketch_packed_batch
         p = self.params
         out: list = [None] * len(paths)
@@ -305,6 +344,8 @@ class SketchIndex:
         from .ops.sketch import dispatch_sketch_packed_batch
         host_max = int(os.environ.get("NIQKI_TPU_HOST_READS",
                                       self.HOST_SKETCH_MAX))
+        if self._host_sketch_route():
+            host_max = 1 << 62  # tunnel transport: host wins at any length
         use_host = native.available()
         pool = ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1))
         pending = None

@@ -120,6 +120,16 @@ def _load():
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    lib.nq_sketch_packed_whole.restype = None
+    lib.nq_sketch_packed_whole.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
     lib.nq_format_hits.restype = ctypes.c_int64
     lib.nq_format_hits.argtypes = [
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -311,6 +321,15 @@ def sketch_packed_batch(recs, lF: int, K: int, W: int, H: int,
         out = np.empty((B, F), np.int32)
     if B == 0:
         return out
+    lib.nq_sketch_packed_batch(*_concat_recs(recs),
+                               B, K, lF, W, H, mask_M, max_rem, out)
+    return out
+
+
+def _concat_recs(recs):
+    """(words, word_off, n_bases, exc, exc_off) concatenated wire arrays
+    for a list of packed (words, n_bases, exc_idx) records."""
+    B = len(recs)
     words = np.concatenate([np.ascontiguousarray(r[0], np.uint32)
                             for r in recs])
     word_off = np.zeros(B + 1, np.int64)
@@ -321,8 +340,30 @@ def sketch_packed_batch(recs, lF: int, K: int, W: int, H: int,
         else np.zeros(1, np.int32)
     exc_off = np.zeros(B + 1, np.int64)
     np.cumsum([len(e) for e in excs], out=exc_off[1:])
-    lib.nq_sketch_packed_batch(words, word_off, n_bases, exc, exc_off,
-                               B, K, lF, W, H, mask_M, max_rem, out)
+    return words, word_off, n_bases, exc, exc_off
+
+
+def sketch_packed_whole(recs, lF: int, K: int, W: int, H: int,
+                        mask_M: int | None = None,
+                        max_rem: int | None = None) -> np.ndarray:
+    """Whole-FILE sketch of a list of packed (words, n_bases, exc_idx)
+    records: per-record min-merge into one (F,) sketch with densification
+    after each record, exactly the reference's multi-record accumulation
+    (compute_sketch re-called on the same vector). Bit-exact with
+    index._finalize_tables over per-record device tables."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if mask_M is None:
+        mask_M = (1 << (W - H)) - 1
+    if max_rem is None:
+        max_rem = (1 << H) - 1
+    out = np.empty(1 << lF, np.int32)
+    if not recs:
+        out.fill(-1)
+        return out
+    lib.nq_sketch_packed_whole(*_concat_recs(recs), len(recs),
+                               K, lF, W, H, mask_M, max_rem, out)
     return out
 
 

@@ -205,3 +205,40 @@ def test_chunked_reader_matches_per_record(path, K):
         for (h1, w1, n1, e1), (h2, w2, n2, e2) in zip(a, b):
             assert h1 == h2 and n1 == n2
             assert np.array_equal(w1, w2) and np.array_equal(e1, e2)
+
+
+def test_sketch_packed_whole_matches_oracle():
+    """Host whole-file sketcher (per-record min-merge + densify-after-each,
+    the reference's compute_sketch accumulation) vs oracle.sketch_records,
+    including multi-record files and non-ACGT characters."""
+    from niqki_tpu.ops.sketch import pack_codes
+    rng = np.random.default_rng(11)
+    p = SketchParams(lF=8, K=21)
+    for trial in range(10):
+        n_rec = int(rng.integers(1, 5))
+        seqs = ["".join(rng.choice(list("ACGTNacgt"), rng.integers(30, 3000)))
+                for _ in range(n_rec)]
+        recs = [pack_codes(*oracle.encode_record(s, p.K), p.K) for s in seqs]
+        got = native.sketch_packed_whole(recs, p.lF, p.K, p.W, p.H)
+        want = oracle.sketch_records(seqs, p)
+        assert np.array_equal(got, want), trial
+
+
+def test_host_sketch_route_env(monkeypatch, tmp_path):
+    """NIQKI_TPU_SKETCH=host routes sketch_files/sketch_file through the
+    native whole-file sketcher with identical results to the device route."""
+    from niqki_tpu.index import SketchIndex
+    rng = np.random.default_rng(13)
+    paths = []
+    for i in range(3):
+        f = tmp_path / f"g{i}.fa"
+        f.write_text(f">g{i}\n" +
+                     "".join(rng.choice(list("ACGT"), 5000)) + "\n")
+        paths.append(str(f))
+    p = SketchParams(lF=7, K=21)
+    monkeypatch.setenv("NIQKI_TPU_SKETCH", "device")
+    want = SketchIndex(p).sketch_files(paths)
+    monkeypatch.setenv("NIQKI_TPU_SKETCH", "host")
+    got = SketchIndex(p).sketch_files(paths)
+    for a, b in zip(want, got):
+        assert np.array_equal(a, b)
