@@ -244,3 +244,27 @@ def test_load_with_G_parity(ref_binary, tmp_path):
     assert rc == 0
     assert gzip.open(tmp_path / "our_h.gz").read() == \
         gzip.open(tmp_path / "ref_h.gz").read()
+
+
+def test_host_sketch_route_parity(ref_binary, tmp_path, monkeypatch):
+    """NIQKI_TPU_SKETCH=host: the staged native whole-file sketcher (and
+    full-host lines mode) against the reference binary — matrix, hits and
+    lines outputs byte-for-byte."""
+    monkeypatch.setenv("NIQKI_TPU_SKETCH", "host")
+    fof = _make_genomes(tmp_path, 777, n_files=6)
+    case = ["-S", "6", "-K", "21"]
+    _run_ref(ref_binary, ["-M", "fof.txt", "-O", "ref_m.gz"] + case,
+             tmp_path)
+    rc = cli.main(["-M", str(fof), "-O", str(tmp_path / "our_m.gz")] + case)
+    assert rc == 0
+    assert gzip.open(tmp_path / "our_m.gz").read() == \
+        gzip.open(tmp_path / "ref_m.gz").read()
+    # hits mode: build + query the same fof (re-sketches every file)
+    _run_ref(ref_binary, ["-I", "fof.txt", "-Q", "fof.txt",
+                          "-O", "ref_h.gz"] + case, tmp_path)
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(["-I", str(fof), "-Q", str(fof),
+                   "-O", str(tmp_path / "our_h.gz")] + case)
+    assert rc == 0
+    assert gzip.open(tmp_path / "our_h.gz").read() == \
+        gzip.open(tmp_path / "ref_h.gz").read()
