@@ -34,7 +34,6 @@
 #include <cstring>
 #include <new>
 #include <string>
-#include <unordered_map>
 #include <vector>
 
 #include <zlib.h>
@@ -541,13 +540,20 @@ void nq_densify(int32_t* sketch, int64_t F) {
   std::vector<Entry> ents;
   ents.reserve(64);
   {
-    std::unordered_map<int32_t, size_t> seen;
-    seen.reserve(128);
+    // Flat open-addressing dedup (node-allocating maps measured ~100 ns
+    // per insert — densify runs once per record).
+    size_t cap = 64;
+    while (cap < (size_t)(F - empty) * 2) cap <<= 1;
+    std::vector<int32_t> tab(cap, -1);  // entry index, -1 = free
+    std::vector<int32_t> tabv(cap);
     for (int64_t i = 0; i < F; ++i) {
-      int32_t v = sketch[i];
+      const int32_t v = sketch[i];
       if (v == -1) continue;
-      auto ins = seen.emplace(v, ents.size());
-      if (ins.second) {
+      size_t h = ((uint32_t)v * 0x9E3779B1u) & (cap - 1);
+      while (tab[h] != -1 && tabv[h] != v) h = (h + 1) & (cap - 1);
+      if (tab[h] == -1) {
+        tab[h] = (int32_t)ents.size();
+        tabv[h] = v;
         uint64_t uv = (uint64_t)(int64_t)v;
         ents.push_back({i, unrevhash64(uv), revhash64(uv), v});
       }
@@ -557,33 +563,54 @@ void nq_densify(int32_t* sketch, int64_t F) {
   for (const Entry& e : ents)
     movable |= (pow2 ? (e.r & mask) : (e.r % (uint64_t)F)) != 0;
 
+  // Per pass, every probe target is fixed at pass start (a slot filled
+  // mid-pass holds a value whose target IS that slot — in-pass fills never
+  // cascade), so entries can be processed in ANY order: a contested empty
+  // slot goes to the candidate scanned first in the reference's slot-order
+  // scan, i.e. the one with the smallest first-occurrence index at pass
+  // start. min_idx updates commit at pass end (an in-pass copy never earns
+  // an earlier probe within its own pass — its probe from the new slot
+  // targets that same slot). No sorting, no hashing in the loop.
+  // Thread-local scratch (densify runs once per record in the batch
+  // pipelines): a monotonic tick makes stale stamps harmless, so the
+  // buffers are never cleared between calls.
+  thread_local std::vector<uint64_t> stamp;
+  thread_local std::vector<int32_t> winner;
+  thread_local std::vector<int32_t> cand;  // targets won this pass
+  thread_local uint64_t tick = 0;
+  if ((int64_t)stamp.size() < F) {
+    stamp.resize((size_t)F, 0);  // tick starts at 1: 0 never matches
+    winner.resize((size_t)F);
+  }
   for (uint64_t step = 0;; ++step) {
-    int64_t filled = 0;
-    bool reorder = false;
-    for (Entry& e : ents) {
-      uint64_t probe = e.u + step * e.r;
-      uint64_t t = pow2 ? (probe & mask) : (probe % (uint64_t)F);
-      if (sketch[t] == -1) {
-        sketch[t] = e.v;
-        ++filled;
-        if (--empty == 0) return;
-        if ((int64_t)t < e.min_idx) {
-          e.min_idx = (int64_t)t;
-          reorder = true;  // scan order for later passes changed
-        }
+    const uint64_t now = ++tick;
+    cand.clear();
+    for (size_t ei = 0; ei < ents.size(); ++ei) {
+      const Entry& e = ents[ei];
+      const uint64_t probe = e.u + step * e.r;
+      const uint64_t t = pow2 ? (probe & mask) : (probe % (uint64_t)F);
+      if (sketch[t] != -1) continue;
+      if (stamp[t] != now) {
+        stamp[t] = now;
+        winner[t] = (int32_t)ei;
+        cand.push_back((int32_t)t);
+      } else if (e.min_idx < ents[(size_t)winner[t]].min_idx) {
+        winner[t] = (int32_t)ei;
       }
     }
+    for (int32_t t : cand) {  // commit fills + min_idx updates
+      Entry& w = ents[(size_t)winner[t]];
+      sketch[t] = w.v;
+      if (t < w.min_idx) w.min_idx = t;
+    }
+    empty -= (int64_t)cand.size();
+    if (empty == 0) return;
     // Termination divergence (documented): the reference loops forever when
     // no value can ever reach an empty slot — e.g. a poly-N/poly-A record
     // sketches to the single fingerprint 0, and revhash64(0) ==
     // unrevhash64(0) == 0 pins every probe to slot 0. A zero-fill pass with
     // no movable value can never change; a pass cap backstops the rest.
-    if (filled == 0 && (!movable || step > 4 * (uint64_t)F)) return;
-    if (reorder)
-      std::stable_sort(ents.begin(), ents.end(),
-                       [](const Entry& a, const Entry& b) {
-                         return a.min_idx < b.min_idx;
-                       });
+    if (cand.empty() && (!movable || step > 4 * (uint64_t)F)) return;
   }
 }
 

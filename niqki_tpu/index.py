@@ -111,11 +111,10 @@ class SketchIndex:
             return False
         if mode == "host":
             return True
-        try:
-            import jax
-            return jax.devices()[0].platform == "axon"
-        except Exception:
-            return True
+        # The tunnel backend registers as JAX_PLATFORMS=axon (its devices
+        # still report platform "tpu", so the env var is the reliable
+        # signal, and checking it never initializes a backend).
+        return "axon" in os.environ.get("JAX_PLATFORMS", "")
 
     def _host_sketch_whole(self, recs) -> np.ndarray:
         p = self.params
@@ -373,8 +372,16 @@ class SketchIndex:
                     short_set = set(short)
                     long_recs = [(None, 0, None) if i in short_set else r
                                  for i, r in enumerate(recs)]
-                    batches = dispatch_sketch_packed_batch(
-                        long_recs, self.params, min_pad=self.LINES_MIN_PAD)
+                    if len(short) < len(recs):
+                        batches = dispatch_sketch_packed_batch(
+                            long_recs, self.params,
+                            min_pad=self.LINES_MIN_PAD)
+                    else:
+                        # All records route to the host sketcher: never
+                        # touch the device dispatch (initializing the
+                        # remote backend alone measured 60+ s; an
+                        # all-short workload should be jax-free).
+                        batches = []
                     grp = max(64, -(-len(short) // 32))
                     futs = [(short[lo:lo + grp], pool.submit(
                         self._host_sketch_packed,
@@ -383,7 +390,10 @@ class SketchIndex:
                     work = (part, batches, futs)
                 if pending is not None:
                     ppart, pbatches, pfuts = pending
-                    sks = self._collect_packed(len(ppart), pbatches)
+                    if pbatches:
+                        sks = self._collect_packed(len(ppart), pbatches)
+                    else:  # all-short chunk: every row comes from the pool
+                        sks = [None] * len(ppart)
                     for idxs, fut in pfuts:
                         for i, sk in zip(idxs, fut.result()):
                             sks[i] = sk
