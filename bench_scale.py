@@ -199,7 +199,7 @@ def main():
     # streams the (W+1)-plane index from HBM once per BLOCK_Q queries.
     sweeps = Qp / bcount.BLOCK_Q
     plane_bytes = (W + 1) * Gp * L * 4
-    viops = Q * Gp * L * (W + 2)
+    viops = Qp * Gp * L * (W + 2)  # padded lanes execute too
     VPU_PEAK = 3.9e12   # v5e: (8,128) vregs x 4 ALUs x ~950 MHz
     HBM_PEAK = 819e9
     print(json.dumps({"metric": f"count_queries_per_s_G{G}",

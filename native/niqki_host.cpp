@@ -77,6 +77,10 @@ inline void prefault_parallel(void* p, size_t bytes) {
   for (auto& t : ts) t.join();
 }
 
+#if defined(__linux__) && defined(MADV_HUGEPAGE)
+#define NQ_HUGE_MMAP 1
+#endif
+
 template <class T>
 struct HugeAlloc {
   using value_type = T;
@@ -85,6 +89,7 @@ struct HugeAlloc {
   HugeAlloc(const HugeAlloc<U>&) {}
   T* allocate(size_t n) {
     const size_t bytes = n * sizeof(T);
+#ifdef NQ_HUGE_MMAP
     if (bytes >= (size_t(1) << 20)) {
       void* p = mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
                      MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
@@ -93,14 +98,19 @@ struct HugeAlloc {
       if (bytes >= (size_t(128) << 20)) prefault_parallel(p, bytes);
       return (T*)p;
     }
+#endif
     return (T*)::operator new(bytes);
   }
   void deallocate(T* p, size_t n) {
     const size_t bytes = n * sizeof(T);
-    if (bytes >= (size_t(1) << 20))
+#ifdef NQ_HUGE_MMAP
+    if (bytes >= (size_t(1) << 20)) {
       munmap(p, bytes);
-    else
-      ::operator delete(p);
+      return;
+    }
+#endif
+    (void)bytes;
+    ::operator delete(p);
   }
   template <class U>
   bool operator==(const HugeAlloc<U>&) const { return true; }
@@ -268,6 +278,7 @@ class LineReader {
     }
     HVec raw((size_t)sz);
     bool read_ok = false;
+#ifdef O_DIRECT
     if ((size_t)sz >= (size_t(8) << 20) &&
         ((uintptr_t)raw.data() & 4095) == 0) {
       // O_DIRECT bulk for big files: GB-scale page-cache population runs
@@ -291,6 +302,7 @@ class LineReader {
         }
       }
     }
+#endif
     if (!read_ok) {
       std::fseek(f, 0, SEEK_SET);
       read_ok = (sz ? std::fread(raw.data(), 1, raw.size(), f)
@@ -383,10 +395,9 @@ struct Reader {
   std::string header;
   std::string seq;
   std::vector<uint8_t> eff_fwd, eff_rc;
-  std::vector<uint32_t> packed;
-  std::vector<int32_t> exc;
-  // Chunked-read buffers (nq_reader_next_chunk): concatenated per-record
-  // arrays + prefix offsets, capacity retained across chunks.
+  // Packed-read buffers (nq_reader_next_chunk and, as a one-record chunk,
+  // nq_reader_next_packed): concatenated per-record arrays + prefix
+  // offsets, capacity retained across chunks.
   std::vector<uint32_t> c_words;
   std::vector<int64_t> c_word_off, c_n_bases, c_exc_off, c_header_off;
   std::vector<int32_t> c_exc;
@@ -562,32 +573,23 @@ int nq_reader_next_packed(void* handle, const char** header,
     if ((int64_t)r->seq.size() > r->K) break;
     if (!r->fastq && r->pending_header.empty() && r->lr.at_eof()) return 0;
   }
-  const std::string& seq = r->seq;
-  const uint8_t* s = (const uint8_t*)seq.data();
-  const size_t n = seq.size();
-  r->packed.assign((n + 15) / 16, 0);
-  r->exc.clear();
-  uint32_t* w = r->packed.data();
-  const size_t p = (size_t)r->K - 1;  // seq longer than K here
-  bool valid = true;
-  for (size_t i = 0; i < p && valid; ++i) valid = kLuts.seed[s[i]] != 255;
-  for (size_t i = 0; i < p; ++i) {
-    uint32_t c = valid ? kLuts.seed[s[i]] : 0;
-    w[i >> 4] |= c << (2 * (i & 15));
-  }
-  for (size_t i = p; i < n; ++i) {
-    const uint8_t ch = s[i];
-    w[i >> 4] |= (uint32_t)kLuts.fwd[ch] << (2 * (i & 15));
-    if (kLuts.seed[ch] == 255 || (ch >= 'a'))  // not uppercase ACGT
-      r->exc.push_back((int32_t)i);
-  }
+  // One-record chunk through the SAME packer as nq_reader_next_chunk (the
+  // 2-bit + rc-exception rule is parity-critical and must exist once).
+  r->c_words.clear();
+  r->c_exc.clear();
+  r->c_headers.clear();
+  r->c_word_off.assign(1, 0);
+  r->c_exc_off.assign(1, 0);
+  r->c_header_off.assign(1, 0);
+  r->c_n_bases.clear();
+  pack_seq_into_chunk(r);
   *header = r->header.data();
   *header_len = (int64_t)r->header.size();
-  *packed = r->packed.data();
-  *n_words = (int64_t)r->packed.size();
-  *exc_idx = r->exc.data();
-  *n_exc = (int64_t)r->exc.size();
-  *seq_len = (int64_t)n;
+  *packed = r->c_words.data();
+  *n_words = r->c_word_off[1];
+  *exc_idx = r->c_exc.data();
+  *n_exc = r->c_exc_off[1];
+  *seq_len = r->c_n_bases[0];
   return 1;
 }
 

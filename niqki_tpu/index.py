@@ -77,6 +77,7 @@ class SketchIndex:
         self._device_packed = None           # cached pair-packed device copy
         self._device_planes = None           # cached bit-plane device copy
         self._sharded = None                 # cached multi-chip ShardedIndex
+        self._stored_host = None             # cached host count-side matrix
 
     # ------------------------------------------------------------------
     # sketching
@@ -262,6 +263,7 @@ class SketchIndex:
         self._device_packed = None
         self._device_planes = None
         self._sharded = None
+        self._stored_host = None
         return gid
 
     def insert_file_whole(self, path: str, name: str | None = None) -> int:
@@ -482,6 +484,14 @@ class SketchIndex:
                 fix(lo)
         return out
 
+    def _stored_cached(self) -> np.ndarray:
+        """_stored() with a host-side cache (invalidated on insert): the
+        host count route runs once per streamed chunk and must not
+        re-materialize the (G, F) sanitized matrix every call."""
+        if self._stored_host is None or len(self._stored_host) != self.G:
+            self._stored_host = self._stored()
+        return self._stored_host
+
     def _query_side(self, q: np.ndarray) -> np.ndarray:
         """Query-side sanitization: out-of-range query fingerprints scan no
         bucket in the reference (query_sketch range guard), so they map to
@@ -510,19 +520,26 @@ class SketchIndex:
             for i, row in enumerate(q):
                 out[i] = (mat == row[None, :]).sum(axis=1, dtype=np.int32)
             return out
-        import jax.numpy as jnp
-        from .ops import bcount, pcount
-        p = self.params
         # Multi-chip: when a production mesh is active (NIQKI_TPU_MESH /
         # --mesh, or >1 TPU device), serve counts from the tp-row-sharded
         # ShardedIndex — identical results, sharding is a layout choice.
-        from .parallel.auto import active_mesh
-        mesh = active_mesh()
-        if mesh is not None:
-            if self._sharded is None or self._sharded.G != self.G:
-                from .parallel.serving import ShardedIndex
-                self._sharded = ShardedIndex(self, mesh)
-            return self._sharded.counts(self._query_side(raw))
+        # active_mesh() needs a backend, so it is only consulted when the
+        # env says a mesh could exist: explicit DxT, or "auto" off the
+        # tunnel ("auto" behind axon is always one device -> no mesh, and
+        # initializing the remote backend alone measured 60+ s).
+        from .parallel.auto import mesh_spec
+        spec = mesh_spec()
+        mesh_possible = spec not in ("off", "none", "0", "1", "1x1") and \
+            not (spec in ("auto", "")
+                 and "axon" in os.environ.get("JAX_PLATFORMS", ""))
+        if mesh_possible:
+            from .parallel.auto import active_mesh
+            mesh = active_mesh()
+            if mesh is not None:
+                if self._sharded is None or self._sharded.G != self.G:
+                    from .parallel.serving import ShardedIndex
+                    self._sharded = ShardedIndex(self, mesh)
+                return self._sharded.counts(self._query_side(raw))
         # Kernel routing: bit-plane Pallas kernel for big indexes (the ~5x
         # arithmetic-intensity win only matters when the index dominates),
         # pair-packed pcount as fallback, XLA broadcast-compare otherwise;
@@ -538,8 +555,12 @@ class SketchIndex:
                 mode == "host" or (mode == "auto" and self.G <= host_max_g)):
             # Raw q (not _query_side): nq_count_eq applies the range guard
             # in C++, so no sanitized (Q, F) copy is ever materialized.
-            return native.count_eq(np.ascontiguousarray(raw), self._stored(),
+            return native.count_eq(np.ascontiguousarray(raw),
+                                   self._stored_cached(),
                                    self.params.fingerprint_range)
+        import jax.numpy as jnp
+        from .ops import bcount, pcount
+        p = self.params
         q = self._query_side(raw)
         if os.environ.get("NIQKI_TPU_NO_PCOUNT"):
             mode = "xla"

@@ -385,7 +385,11 @@ def count_eq(q: np.ndarray, mat: np.ndarray, fp_range: int,
     Q, F = q.shape
     G = mat.shape[0]
     assert mat.shape[1] == F
-    out = np.empty((Q, G), np.int32)
+    if Q * G * 4 >= (1 << 21):
+        from . import hostmem
+        out = hostmem.big_empty((Q, G), np.int32)  # C++ first-touches it
+    else:
+        out = np.empty((Q, G), np.int32)
     if Q == 0 or G == 0:
         return out
     threads = threads or min(8, os.cpu_count() or 1)
