@@ -15,20 +15,33 @@ def _enable_persistent_compile_cache() -> None:
 
     TPU compiles routed through a remote transport take minutes; the engine's
     kernel set is small and static, so caching them across processes turns
-    every startup after the first into a cache hit. Opt out with
-    NIQKI_TPU_NO_COMPILE_CACHE=1 or by pre-setting JAX_COMPILATION_CACHE_DIR.
+    every startup after the first into a cache hit. Configured through env
+    vars (read by jax.config at its own import) so importing niqki_tpu never
+    imports jax — fully host-routed jobs stay jax-free end to end. Opt out
+    with NIQKI_TPU_NO_COMPILE_CACHE=1 or by pre-setting
+    JAX_COMPILATION_CACHE_DIR.
     """
     if _os.environ.get("NIQKI_TPU_NO_COMPILE_CACHE"):
         return
     try:
-        import jax
+        import sys as _sys
         path = _os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache", "niqki_tpu",
                           "jax_cache"))
         _os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+        _os.environ.setdefault(
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+        if "jax" in _sys.modules:
+            # Already imported (e.g. by this box's sitecustomize): the env
+            # vars were read at that import, so apply via config instead.
+            # Never import jax ourselves — a fully host-routed job must
+            # stay jax-free.
+            import jax
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

@@ -527,8 +527,9 @@ class SketchIndex:
         # env says a mesh could exist: explicit DxT, or "auto" off the
         # tunnel ("auto" behind axon is always one device -> no mesh, and
         # initializing the remote backend alone measured 60+ s).
-        from .parallel.auto import mesh_spec
-        spec = mesh_spec()
+        # (env read inlined: importing .parallel pulls jax in at module
+        # scope, which a host-routed job must not do)
+        spec = os.environ.get("NIQKI_TPU_MESH", "auto").strip().lower()
         mesh_possible = spec not in ("off", "none", "0", "1", "1x1") and \
             not (spec in ("auto", "")
                  and "axon" in os.environ.get("JAX_PLATFORMS", ""))

@@ -221,3 +221,35 @@ def test_query_fof_matrix_library(tmp_path, monkeypatch):
     assert len(rows) == 1 and rows[0].startswith("tiny1.fa\t")
     # the self-row in both outputs carries the full self-similarity 1
     assert "\t1\t" in rows[0]
+
+
+def test_host_routed_cli_never_inits_jax_backend(tmp_path):
+    """With the host sketch route forced and a small index, a full
+    build+query CLI run must never initialize a jax backend (that init
+    measured 60+ s on the remote tunnel — the round-2 lazy-init
+    contract). jax may be IMPORTED (this box's sitecustomize preloads
+    it into every process); what must not happen is backend creation."""
+    import subprocess
+    import sys
+    code = (
+        "import sys\n"
+        "from niqki_tpu import cli\n"
+        "rc = cli.main(['-I', 'FOF', '-Q', 'FOF', '-O', 'OUT', '-S', '6'])\n"
+        "assert rc == 0\n"
+        "if 'jax' in sys.modules:\n"
+        "    import jax._src.xla_bridge as xb\n"
+        "    assert not xb.backends_are_initialized(), \\\n"
+        "        'host-routed run initialized a jax backend'\n"
+    )
+    fof = tmp_path / "fof.txt"
+    fa = tmp_path / "g.fa"
+    fa.write_text(">g\n" + "ACGTTGCA" * 40 + "\n")
+    fof.write_text("g.fa\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, NIQKI_TPU_SKETCH="host", NIQKI_TPU_MESH="off",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH",
+                                                             ""))
+    code = code.replace("FOF", str(fof)).replace("OUT", str(tmp_path / "o.gz"))
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=tmp_path,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
