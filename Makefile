@@ -1,5 +1,5 @@
 # Top-level orchestration: native library, tests, benchmarks.
-.PHONY: all native test test-fast bench bench-scale clean
+.PHONY: all native test test-fast bench bench-scale soak clean
 
 all: native
 
@@ -17,6 +17,9 @@ bench: native
 
 bench-scale: native
 	python bench_scale.py
+
+soak: native  # randomized differential campaign vs the reference binary
+	python tools/fuzz_soak.py --trials 100
 
 clean:
 	$(MAKE) -C native clean
