@@ -880,6 +880,99 @@ void nq_sketch_packed_whole(const uint32_t* words, const int64_t* word_off,
   }
 }
 
+// nq_sketch_packed_whole with the per-record window loop split across
+// n_threads std::threads — bit-identical by construction: both rolling
+// states depend only on the previous K effective codes (fwd is masked to
+// 2K bits every step; rc is a K-stage 2-bit shift register whose stale
+// low bits fall out on the first in-window shift), so seeding a chunk by
+// rolling over codes [lo, lo+K-1) reproduces the full pass's state at
+// window lo exactly, and the per-slot min over windows is associative.
+// Unpack is parallelized over disjoint base ranges; the per-record
+// min-merge + densify stay sequential (reference order semantics,
+// /root/reference/src/niqki_index.cpp:442-456). Short records
+// (< kMtMinWindows per extra thread) take the single-thread path, so
+// read-scale inputs never pay thread spawns.
+void nq_sketch_packed_whole_mt(const uint32_t* words, const int64_t* word_off,
+                               const int64_t* n_bases, const int32_t* exc,
+                               const int64_t* exc_off, int64_t n_records,
+                               int64_t K, int64_t lF, int64_t W, int64_t H,
+                               int64_t mask_M, int64_t max_rem,
+                               int64_t n_threads, int32_t* out) {
+  const int64_t F = 1LL << lF;
+  const int32_t kEmpty = INT32_MAX;
+  constexpr int64_t kMtMinWindows = 1 << 19;  // ~512k bases per extra thread
+  std::fill(out, out + F, -1);
+  std::vector<uint8_t> fwd, rc;
+  std::vector<int32_t> tmp((size_t)F);
+  std::vector<int32_t> parts;
+  std::vector<std::thread> th;
+  for (int64_t r = 0; r < n_records; ++r) {
+    const int64_t n = n_bases[r];
+    if (n - K <= 0) continue;
+    const int64_t nk = n - K;
+    int64_t T = n_threads < 1 ? 1 : n_threads;
+    const int64_t cap = (nk + kMtMinWindows - 1) / kMtMinWindows;
+    if (cap < T) T = cap;
+    fwd.resize((size_t)n);
+    rc.resize((size_t)n);
+    const uint32_t* w = words + word_off[r];
+    uint8_t* fp_ = fwd.data();
+    uint8_t* rp_ = rc.data();
+    auto unpack_range = [w, fp_, rp_](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t c = (uint8_t)((w[i >> 4] >> (2 * (i & 15))) & 3u);
+        fp_[i] = c;
+        rp_[i] = (uint8_t)(3 - c);
+      }
+    };
+    std::fill(tmp.begin(), tmp.end(), kEmpty);
+    if (T <= 1) {
+      unpack_range(0, n);
+      for (int64_t e = exc_off[r]; e < exc_off[r + 1]; ++e)
+        rp_[exc[e]] = 0;
+      nq_sketch_codes(fp_, rp_, n, K, lF, W, H, mask_M, max_rem, tmp.data());
+    } else {
+      th.clear();
+      const int64_t uper = (n + T - 1) / T;
+      for (int64_t t = 1; t < T; ++t) {
+        const int64_t lo = t * uper, hi = std::min(n, lo + uper);
+        if (lo < hi) th.emplace_back(unpack_range, lo, hi);
+      }
+      unpack_range(0, std::min(n, uper));
+      for (auto& x : th) x.join();
+      for (int64_t e = exc_off[r]; e < exc_off[r + 1]; ++e)
+        rp_[exc[e]] = 0;
+      parts.assign((size_t)((T - 1) * F), kEmpty);
+      th.clear();
+      const int64_t per = nk / T;
+      for (int64_t t = 1; t < T; ++t) {
+        const int64_t lo = t * per;
+        const int64_t hi = (t == T - 1) ? nk : lo + per;
+        int32_t* pt = parts.data() + (size_t)((t - 1) * F);
+        th.emplace_back([fp_, rp_, lo, hi, K, lF, W, H, mask_M, max_rem,
+                         pt] {
+          nq_sketch_codes(fp_ + lo, rp_ + lo, (hi - lo) + K, K, lF, W, H,
+                          mask_M, max_rem, pt);
+        });
+      }
+      nq_sketch_codes(fp_, rp_, per + K, K, lF, W, H, mask_M, max_rem,
+                      tmp.data());
+      for (auto& x : th) x.join();
+      for (int64_t t = 1; t < T; ++t) {
+        const int32_t* pt = parts.data() + (size_t)((t - 1) * F);
+        for (int64_t f = 0; f < F; ++f)
+          if (pt[f] < tmp[(size_t)f]) tmp[(size_t)f] = pt[f];
+      }
+    }
+    for (int64_t f = 0; f < F; ++f) {
+      const int32_t cur = out[f] == -1 ? kEmpty : out[f];
+      const int32_t m = cur < tmp[(size_t)f] ? cur : tmp[(size_t)f];
+      out[f] = m == kEmpty ? -1 : m;
+    }
+    nq_densify(out, F);
+  }
+}
+
 // Formats pretty-hit rows for a whole counts block in one call:
 //   "<header> <name>:<jac> <name>:<jac> ... \n"  per row (trailing space),
 // hits = gids with counts[b,g] >= min_score, ordered count desc then gid

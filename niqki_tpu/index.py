@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 import zlib
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import Future, ThreadPoolExecutor
 
 import numpy as np
 
@@ -117,16 +117,20 @@ class SketchIndex:
         # signal, and checking it never initializes a backend).
         return "axon" in os.environ.get("JAX_PLATFORMS", "")
 
-    def _host_sketch_whole(self, recs) -> np.ndarray:
+    def _host_sketch_whole(self, recs, threads: int = 1) -> np.ndarray:
         p = self.params
         return native.sketch_packed_whole(
-            recs, p.lF, p.K, p.W, p.H, p.mask_M, p.maximal_remainder)
+            recs, p.lF, p.K, p.W, p.H, p.mask_M, p.maximal_remainder,
+            threads=threads)
 
     def sketch_file(self, path: str) -> np.ndarray:
         if self._host_sketch_route():
+            # A single-file call owns the whole host: split the record's
+            # window range across all cores (bit-identical chunked roll).
             return self._host_sketch_whole(
                 [(w, n, e) for _, w, n, e
-                 in native.read_packed_records_chunked(path, self.params.K)])
+                 in native.read_packed_records_chunked(path, self.params.K)],
+                threads=os.cpu_count() or 1)
         return self.sketch_records(s for _, s in read_records(path, self.params.K))
 
     # ------------------------------------------------------------------
@@ -193,10 +197,37 @@ class SketchIndex:
         if self.backend == "numpy":
             return [self.sketch_file(p) for p in paths]
         if self._host_sketch_route():
-            # Host route: each file's load + whole-file sketch chains in one
-            # pool task (decode ~230 Mbp/s/thread, staged sketcher ~250);
-            # at most the pool's width of files is ever in flight.
             io_threads = io_threads or min(8, os.cpu_count() or 1)
+            if len(paths) <= 4 * io_threads:
+                # Small fof: chaining decode+sketch in one ~40ms task per
+                # file leaves cores idle in the last wave (9 files / 4
+                # cores = 3 uneven waves). Splitting each file into a
+                # decode task and a sketch task (submitted when its decode
+                # finishes) halves the task grain so the pool packs the
+                # tail — measured 105 vs 119 ms on the 9-genome golden set.
+                # Decoded-but-unsketched data is bounded by len(paths).
+                out_futs = [Future() for _ in paths]
+                with ThreadPoolExecutor(max_workers=io_threads) as pool:
+                    def sketch_task(i, recs):
+                        try:
+                            out_futs[i].set_result(
+                                self._host_sketch_whole(recs))
+                        except BaseException as e:  # surface via result()
+                            out_futs[i].set_exception(e)
+
+                    def decode_task(i, pa):
+                        try:
+                            recs = self._load_packed(pa)
+                            pool.submit(sketch_task, i, recs)
+                        except BaseException as e:
+                            out_futs[i].set_exception(e)
+                    for i, pa in enumerate(paths):
+                        pool.submit(decode_task, i, pa)
+                    return [f.result() for f in out_futs]
+            # Large fof: each file's load + whole-file sketch chains in one
+            # pool task (decode ~230 Mbp/s/thread, staged sketcher ~250);
+            # file-level parallelism already saturates the host, and at
+            # most the pool's width of files is ever in flight.
             with ThreadPoolExecutor(max_workers=io_threads) as pool:
                 futs = [pool.submit(
                     lambda pa=pa: self._host_sketch_whole(

@@ -130,6 +130,16 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    lib.nq_sketch_packed_whole_mt.restype = None
+    lib.nq_sketch_packed_whole_mt.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
     lib.nq_format_hits.restype = ctypes.c_int64
     lib.nq_format_hits.argtypes = [
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -345,12 +355,18 @@ def _concat_recs(recs):
 
 def sketch_packed_whole(recs, lF: int, K: int, W: int, H: int,
                         mask_M: int | None = None,
-                        max_rem: int | None = None) -> np.ndarray:
+                        max_rem: int | None = None,
+                        threads: int = 1) -> np.ndarray:
     """Whole-FILE sketch of a list of packed (words, n_bases, exc_idx)
     records: per-record min-merge into one (F,) sketch with densification
     after each record, exactly the reference's multi-record accumulation
     (compute_sketch re-called on the same vector). Bit-exact with
-    index._finalize_tables over per-record device tables."""
+    index._finalize_tables over per-record device tables.
+
+    threads > 1 splits each record's window range across C++ threads
+    (chunked roll + per-slot min-merge — bit-identical, records below
+    ~512k windows/thread stay single-threaded); the GIL is released
+    either way."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -362,8 +378,13 @@ def sketch_packed_whole(recs, lF: int, K: int, W: int, H: int,
     if not recs:
         out.fill(-1)
         return out
-    lib.nq_sketch_packed_whole(*_concat_recs(recs), len(recs),
-                               K, lF, W, H, mask_M, max_rem, out)
+    if threads > 1:
+        lib.nq_sketch_packed_whole_mt(*_concat_recs(recs), len(recs),
+                                      K, lF, W, H, mask_M, max_rem,
+                                      threads, out)
+    else:
+        lib.nq_sketch_packed_whole(*_concat_recs(recs), len(recs),
+                                   K, lF, W, H, mask_M, max_rem, out)
     return out
 
 

@@ -224,6 +224,31 @@ def test_sketch_packed_whole_matches_oracle():
         assert np.array_equal(got, want), trial
 
 
+def test_sketch_packed_whole_mt_matches_single_thread():
+    """The multithreaded whole-file sketcher (per-record window range split
+    across C++ threads, chunked roll + per-slot min-merge) is bit-identical
+    to the single-thread path — records long enough to actually chunk
+    (> 2^19 windows/thread), multi-record accumulation, non-ACGT bases,
+    and thread counts past the chunk cap."""
+    from niqki_tpu.ops.sketch import pack_codes
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        K = int(rng.choice([5, 21, 31]))
+        lF = int(rng.choice([4, 8, 12]))
+        p = SketchParams(lF=lF, K=K)
+        n_rec = int(rng.integers(1, 3))
+        seqs = ["".join(rng.choice(list("ACGTN"),
+                                   rng.integers(K + 1, 2_500_000),
+                                   p=[.24, .24, .24, .24, .04]))
+                for _ in range(n_rec)]
+        recs = [pack_codes(*oracle.encode_record(s, p.K), p.K) for s in seqs]
+        want = native.sketch_packed_whole(recs, p.lF, p.K, p.W, p.H)
+        for threads in (2, 4, 16):
+            got = native.sketch_packed_whole(recs, p.lF, p.K, p.W, p.H,
+                                             threads=threads)
+            assert np.array_equal(got, want), (trial, threads)
+
+
 def test_host_sketch_route_env(monkeypatch, tmp_path):
     """NIQKI_TPU_SKETCH=host routes sketch_files/sketch_file through the
     native whole-file sketcher with identical results to the device route."""
