@@ -37,6 +37,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
+
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <unistd.h>
@@ -407,6 +411,18 @@ struct Reader {
 
 // 2-bit-packs r->seq, appending to the chunk buffers (same packing rules as
 // nq_reader_next_packed: seed-prefix zeroing, rc-exception positions).
+//
+// The per-char body (LUT code into w[i>>4], exception if not uppercase
+// ACGT) measured ~3.5 cycles/char scalar — the reader's biggest cost after
+// inflate. On AVX-512VBMI hosts the body runs 64 chars/iteration: vpermi2b
+// is a 128-entry byte LUT (exactly ASCII; bytes >= 0x80 alias low-7 and are
+// zeroed via the sign-bit mask), maddubs+madd fold each 32-bit lane's four
+// codes into one packed byte ([1,4] pairs then [1,16]), vpmovdb compresses
+// to 16 packed bytes per 64 chars, and the exception mask is four byte
+// compares (exc <=> ch not in "ACGT", bit-identical with the scalar test:
+// seed==255 covers everything but ACGTacgt and ch>='a' the lowercase rest).
+// The vector body starts at a 16-char (= whole-word) boundary so its plain
+// stores never touch a byte the scalar head OR-ed into.
 void pack_seq_into_chunk(Reader* r) {
   const std::string& seq = r->seq;
   const uint8_t* s = (const uint8_t*)seq.data();
@@ -421,7 +437,45 @@ void pack_seq_into_chunk(Reader* r) {
     uint32_t c = valid ? kLuts.seed[s[i]] : 0;
     w[i >> 4] |= c << (2 * (i & 15));
   }
-  for (size_t i = p; i < n; ++i) {
+  size_t i = p;
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+  const size_t a16 = std::min(n, (p + 15) & ~(size_t)15);
+  for (; i < a16; ++i) {
+    const uint8_t ch = s[i];
+    w[i >> 4] |= (uint32_t)kLuts.fwd[ch] << (2 * (i & 15));
+    if (kLuts.seed[ch] == 255 || (ch >= 'a'))
+      r->c_exc.push_back((int32_t)i);
+  }
+  if (i + 64 <= n) {
+    alignas(64) uint8_t lut128[128];
+    for (int j = 0; j < 128; ++j) lut128[j] = kLuts.fwd[j];
+    const __m512i lut_lo = _mm512_load_si512(lut128);
+    const __m512i lut_hi = _mm512_load_si512(lut128 + 64);
+    const __m512i mul14 = _mm512_set1_epi16(0x0401);   // byte pair [1, 4]
+    const __m512i mul116 = _mm512_set1_epi32(0x00100001);  // word pair [1, 16]
+    const __m512i vA = _mm512_set1_epi8('A'), vC = _mm512_set1_epi8('C');
+    const __m512i vG = _mm512_set1_epi8('G'), vT = _mm512_set1_epi8('T');
+    for (; i + 64 <= n; i += 64) {
+      const __m512i ch = _mm512_loadu_si512(s + i);
+      const __mmask64 hi = _mm512_movepi8_mask(ch);  // ch >= 0x80
+      __m512i code = _mm512_permutex2var_epi8(lut_lo, ch, lut_hi);
+      code = _mm512_maskz_mov_epi8(~hi, code);
+      const __m512i p16 = _mm512_maddubs_epi16(code, mul14);
+      const __m512i p32 = _mm512_madd_epi16(p16, mul116);
+      _mm512_mask_cvtepi32_storeu_epi8((uint8_t*)w + i / 4,
+                                       (__mmask16)0xFFFF, p32);
+      uint64_t exc = ~(_mm512_cmpeq_epi8_mask(ch, vA) |
+                       _mm512_cmpeq_epi8_mask(ch, vC) |
+                       _mm512_cmpeq_epi8_mask(ch, vG) |
+                       _mm512_cmpeq_epi8_mask(ch, vT));
+      while (exc) {
+        r->c_exc.push_back((int32_t)(i + (size_t)__builtin_ctzll(exc)));
+        exc &= exc - 1;
+      }
+    }
+  }
+#endif
+  for (; i < n; ++i) {
     const uint8_t ch = s[i];
     w[i >> 4] |= (uint32_t)kLuts.fwd[ch] << (2 * (i & 15));
     if (kLuts.seed[ch] == 255 || (ch >= 'a'))  // not uppercase ACGT

@@ -61,6 +61,36 @@ def test_packed_reader_matches_python_packer(path, K):
         assert np.array_equal(ne, exc)
 
 
+def test_packed_reader_vectorized_packer_adversarial(tmp_path):
+    """The AVX-512 pack body (64 chars/iteration, 128-entry vpermi2b LUT,
+    4-compare exception mask) vs the Python packer on adversarial content:
+    bytes >= 0x80 (which alias low-7 LUT slots and must still code 0 +
+    exception), lowercase acgt, digits/symbols, and record lengths that
+    land exactly on/around the 64-char vector boundary and the 16-char
+    alignment head."""
+    from niqki_tpu.ops.sketch import pack_codes
+    rng = np.random.default_rng(23)
+    K = 21
+    alphabet = np.frombuffer(b"ACGTacgtNnRy0>\x80\xc1\xc3\xd4\xff\x01", np.uint8)
+    f = tmp_path / "adv.fa"
+    lens = [K + 1, 63, 64, 65, 64 + 15, 64 + 16, 64 + 17, 127, 128, 129,
+            int(rng.integers(200, 5000))]
+    with open(f, "wb") as fh:
+        for i, ln in enumerate(lens):
+            # first body char pinned: a leading '>' would (correctly, on
+            # both sides) start a new record and shift the census
+            body = b"A" + rng.choice(alphabet, ln - 1).tobytes()
+            fh.write(b">r%d\n" % i + body + b"\n")
+    nat = list(native.read_packed_records(str(f), K))
+    ref = list(_python_records(str(f), K))
+    assert len(nat) == len(ref) == len(lens)
+    for (nh, nw, nn, ne), (rh, rf, rr) in zip(nat, ref):
+        ww, n, exc = pack_codes(rf, rr, K)
+        assert nh == rh and nn == n
+        assert np.array_equal(nw, ww)
+        assert np.array_equal(ne, exc)
+
+
 def test_packed_roundtrip_with_exceptions():
     """Non-ACGT and lowercase characters: the packed wire format plus the
     exception list must reproduce the exact eff_fwd/eff_rc arrays."""
