@@ -756,6 +756,88 @@ void nq_densify(int32_t* sketch, int64_t F) {
 }
 
 // ---------------------------------------------------------------------------
+// Shared stages (B) hash/fingerprint/slot and (C) min-scatter of the staged
+// sketchers, over one block of canonical k-mers. (B) is branch-free with
+// independent iterations — the compiler vectorizes it 8-wide with AVX-512DQ
+// vpmullq + vplzcntq; (C) stays a scalar min-scatter (value-dependent).
+constexpr int64_t kSketchBlock = 2048;  // 16 KB block buffers: L1-resident
+static inline void hash_min_block(const uint64_t* canon, int64_t m,
+                                  int64_t lF, int M, int64_t max_rem,
+                                  uint64_t mask_M, int32_t* table) {
+  uint64_t slot[kSketchBlock];
+  int64_t fp[kSketchBlock];
+  for (int64_t i = 0; i < m; ++i) {  // (B) hash, vectorized
+    const uint64_t h = revhash64(canon[i]);
+    slot[i] = unrevhash64(canon[i]) >> (64 - lF);
+    int64_t rem = max_rem - clz64(h);
+    rem = rem < 0 ? 0 : rem;
+    fp[i] = (int64_t)(int32_t)((uint32_t)(rem << M) +
+                               (uint32_t)(h & mask_M));
+  }
+  for (int64_t i = 0; i < m; ++i) {  // (C) min-scatter
+    const int32_t f = (int32_t)fp[i];
+    if (f < table[slot[i]]) table[slot[i]] = f;
+  }
+}
+
+// Staged sketcher reading the 2-bit packed wire directly: min-merges the
+// fingerprints of windows [win_lo, win_hi) of ONE record into table[2^lF]
+// (int32, INT32_MAX = empty). Codes come straight from the packed words
+// (2-bit extract in the roll — no n-byte eff_fwd/eff_rc materialization,
+// one pass over n/4 bytes instead of three over 2n); rc codes are 3-c
+// except at the positions in the sorted exception list [exc, exc_end)
+// (the packer's not-uppercase-ACGT positions, all >= K-1), walked with a
+// single pointer. Chunk-safe: both rolling states depend only on the
+// previous K codes (fwd is masked to 2K bits each step; rc is a K-stage
+// 2-bit shift register whose stale low bits fall out on the first
+// in-window shift), so seeding by rolling over codes [win_lo, win_lo+K-1)
+// reproduces the full pass's state at window win_lo exactly — the mt path
+// splits a record across threads on window ranges. Bit-identical with
+// unpack + nq_sketch_codes on the same span.
+static void sketch_packed_range(const uint32_t* w, const int32_t* exc,
+                                const int32_t* exc_end, int64_t win_lo,
+                                int64_t win_hi, int64_t K, int64_t lF,
+                                int64_t W, int64_t H, int64_t mask_M_in,
+                                int64_t max_rem_in, int32_t* table) {
+  if (win_hi <= win_lo) return;
+  const int M = (int)(W - H);
+  const int64_t max_rem = max_rem_in;
+  const uint64_t mask_M = (uint64_t)mask_M_in;
+  const uint64_t mask2K = (2 * K < 64) ? ((1ULL << (2 * K)) - 1) : ~0ULL;
+  const int rc_top = (int)(2 * (K - 1));
+  const int32_t* ep = std::lower_bound(exc, exc_end, (int32_t)win_lo);
+  uint64_t fwd = 0, rc = 0;
+  for (int64_t j = win_lo; j < win_lo + K - 1; ++j) {
+    const uint32_t c = (w[j >> 4] >> (2 * (j & 15))) & 3u;
+    uint32_t rcc = 3u - c;
+    if (ep != exc_end && *ep == j) {
+      rcc = 0;
+      ++ep;
+    }
+    fwd = (fwd << 2) | c;
+    rc = (rc >> 2) | ((uint64_t)rcc << rc_top);
+  }
+  uint64_t canon[kSketchBlock];
+  for (int64_t blo = win_lo; blo < win_hi; blo += kSketchBlock) {
+    const int64_t m = (win_hi - blo < kSketchBlock) ? win_hi - blo
+                                                    : kSketchBlock;
+    for (int64_t i = 0; i < m; ++i) {  // (A) roll from packed words
+      const int64_t pos = blo + i + K - 1;
+      const uint32_t c = (w[pos >> 4] >> (2 * (pos & 15))) & 3u;
+      uint32_t rcc = 3u - c;
+      if (ep != exc_end && *ep == pos) {
+        rcc = 0;
+        ++ep;
+      }
+      fwd = ((fwd << 2) | c) & mask2K;
+      rc = (rc >> 2) | ((uint64_t)rcc << rc_top);
+      canon[i] = fwd < rc ? fwd : rc;
+    }
+    hash_min_block(canon, m, lF, M, max_rem, mask_M, table);
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Rolling-window CPU sketcher over encoded arrays: min-merges the n-K k-mer
 // fingerprints of one record into table[2^lF] (int32, INT32_MAX = empty).
 // Pure-CPU backend + independent oracle for the device kernels.
@@ -781,10 +863,7 @@ void nq_sketch_codes(const uint8_t* eff_fwd, const uint8_t* eff_rc, int64_t n,
   // a block buffer, (B) a branch-free independent-iteration hash /
   // fingerprint / slot loop the compiler vectorizes (AVX-512DQ vpmullq +
   // vplzcntq 8-wide on this host), and (C) the scalar min-scatter.
-  constexpr int64_t B = 2048;  // 3 x 16 KB block buffers: L1/L2-resident
-  uint64_t canon[B];
-  uint64_t slot[B];
-  int64_t fp[B];
+  uint64_t canon[kSketchBlock];
 
   // Seed the rolling states with the first K-1 bases; window i covers
   // [i, i+K).  fwd has codes[i] in the top 2 bits, rc in the bottom.
@@ -793,25 +872,14 @@ void nq_sketch_codes(const uint8_t* eff_fwd, const uint8_t* eff_rc, int64_t n,
     fwd = (fwd << 2) | eff_fwd[j];
     rc = (rc >> 2) | ((uint64_t)eff_rc[j] << rc_top);
   }
-  for (int64_t lo = 0; lo < nk; lo += B) {
-    const int64_t m = (nk - lo < B) ? nk - lo : B;
+  for (int64_t lo = 0; lo < nk; lo += kSketchBlock) {
+    const int64_t m = (nk - lo < kSketchBlock) ? nk - lo : kSketchBlock;
     for (int64_t i = 0; i < m; ++i) {  // (A) roll
       fwd = ((fwd << 2) | eff_fwd[lo + i + K - 1]) & mask2K;
       rc = (rc >> 2) | ((uint64_t)eff_rc[lo + i + K - 1] << rc_top);
       canon[i] = fwd < rc ? fwd : rc;
     }
-    for (int64_t i = 0; i < m; ++i) {  // (B) hash, vectorized
-      const uint64_t h = revhash64(canon[i]);
-      slot[i] = unrevhash64(canon[i]) >> (64 - lF);
-      int64_t rem = max_rem - clz64(h);
-      rem = rem < 0 ? 0 : rem;
-      fp[i] = (int64_t)(int32_t)((uint32_t)(rem << M) +
-                                 (uint32_t)(h & mask_M));
-    }
-    for (int64_t i = 0; i < m; ++i) {  // (C) min-scatter
-      const int32_t f = (int32_t)fp[i];
-      if (f < table[slot[i]]) table[slot[i]] = f;
-    }
+    hash_min_block(canon, m, lF, M, max_rem, mask_M, table);
   }
 }
 
@@ -831,7 +899,6 @@ void nq_sketch_packed_batch(const uint32_t* words, const int64_t* word_off,
                             int64_t mask_M, int64_t max_rem, int32_t* out) {
   const int64_t F = 1LL << lF;
   const int32_t kEmpty = INT32_MAX;
-  std::vector<uint8_t> fwd, rc;
   std::vector<int32_t> tmp((size_t)F);
   for (int64_t r = 0; r < n_records; ++r) {
     int32_t* table = out + r * F;
@@ -840,19 +907,10 @@ void nq_sketch_packed_batch(const uint32_t* words, const int64_t* word_off,
       std::fill(table, table + F, -1);
       continue;
     }
-    fwd.resize((size_t)n);
-    rc.resize((size_t)n);
-    const uint32_t* w = words + word_off[r];
-    for (int64_t i = 0; i < n; ++i) {
-      const uint8_t c = (uint8_t)((w[i >> 4] >> (2 * (i & 15))) & 3u);
-      fwd[(size_t)i] = c;
-      rc[(size_t)i] = (uint8_t)(3 - c);
-    }
-    for (int64_t e = exc_off[r]; e < exc_off[r + 1]; ++e)
-      rc[(size_t)exc[e]] = 0;
     std::fill(tmp.begin(), tmp.end(), kEmpty);
-    nq_sketch_codes(fwd.data(), rc.data(), n, K, lF, W, H, mask_M, max_rem,
-                    tmp.data());
+    sketch_packed_range(words + word_off[r], exc + exc_off[r],
+                        exc + exc_off[r + 1], 0, n - K, K, lF, W, H,
+                        mask_M, max_rem, tmp.data());
     for (int64_t f = 0; f < F; ++f)
       table[f] = tmp[(size_t)f] == kEmpty ? -1 : tmp[(size_t)f];
     nq_densify(table, F);
@@ -905,24 +963,14 @@ void nq_sketch_packed_whole(const uint32_t* words, const int64_t* word_off,
   const int64_t F = 1LL << lF;
   const int32_t kEmpty = INT32_MAX;
   std::fill(out, out + F, -1);
-  std::vector<uint8_t> fwd, rc;
   std::vector<int32_t> tmp((size_t)F);
   for (int64_t r = 0; r < n_records; ++r) {
     const int64_t n = n_bases[r];
     if (n - K <= 0) continue;
-    fwd.resize((size_t)n);
-    rc.resize((size_t)n);
-    const uint32_t* w = words + word_off[r];
-    for (int64_t i = 0; i < n; ++i) {
-      const uint8_t c = (uint8_t)((w[i >> 4] >> (2 * (i & 15))) & 3u);
-      fwd[(size_t)i] = c;
-      rc[(size_t)i] = (uint8_t)(3 - c);
-    }
-    for (int64_t e = exc_off[r]; e < exc_off[r + 1]; ++e)
-      rc[(size_t)exc[e]] = 0;
     std::fill(tmp.begin(), tmp.end(), kEmpty);
-    nq_sketch_codes(fwd.data(), rc.data(), n, K, lF, W, H, mask_M, max_rem,
-                    tmp.data());
+    sketch_packed_range(words + word_off[r], exc + exc_off[r],
+                        exc + exc_off[r + 1], 0, n - K, K, lF, W, H,
+                        mask_M, max_rem, tmp.data());
     // min-merge the record table into the accumulating sketch, then
     // densify the merged sketch (per record, like the reference).
     for (int64_t f = 0; f < F; ++f) {
@@ -935,17 +983,13 @@ void nq_sketch_packed_whole(const uint32_t* words, const int64_t* word_off,
 }
 
 // nq_sketch_packed_whole with the per-record window loop split across
-// n_threads std::threads — bit-identical by construction: both rolling
-// states depend only on the previous K effective codes (fwd is masked to
-// 2K bits every step; rc is a K-stage 2-bit shift register whose stale
-// low bits fall out on the first in-window shift), so seeding a chunk by
-// rolling over codes [lo, lo+K-1) reproduces the full pass's state at
-// window lo exactly, and the per-slot min over windows is associative.
-// Unpack is parallelized over disjoint base ranges; the per-record
-// min-merge + densify stay sequential (reference order semantics,
-// /root/reference/src/niqki_index.cpp:442-456). Short records
-// (< kMtMinWindows per extra thread) take the single-thread path, so
-// read-scale inputs never pay thread spawns.
+// n_threads std::threads — bit-identical by construction: each thread
+// runs sketch_packed_range on its own window span (see its chunk-safety
+// note) into a private table, and the per-slot min over windows is
+// associative. The per-record min-merge + densify stay sequential
+// (reference order semantics, /root/reference/src/niqki_index.cpp:
+// 442-456). Short records (< kMtMinWindows per extra thread) take the
+// single-thread path, so read-scale inputs never pay thread spawns.
 void nq_sketch_packed_whole_mt(const uint32_t* words, const int64_t* word_off,
                                const int64_t* n_bases, const int32_t* exc,
                                const int64_t* exc_off, int64_t n_records,
@@ -956,7 +1000,6 @@ void nq_sketch_packed_whole_mt(const uint32_t* words, const int64_t* word_off,
   const int32_t kEmpty = INT32_MAX;
   constexpr int64_t kMtMinWindows = 1 << 19;  // ~512k bases per extra thread
   std::fill(out, out + F, -1);
-  std::vector<uint8_t> fwd, rc;
   std::vector<int32_t> tmp((size_t)F);
   std::vector<int32_t> parts;
   std::vector<std::thread> th;
@@ -967,35 +1010,14 @@ void nq_sketch_packed_whole_mt(const uint32_t* words, const int64_t* word_off,
     int64_t T = n_threads < 1 ? 1 : n_threads;
     const int64_t cap = (nk + kMtMinWindows - 1) / kMtMinWindows;
     if (cap < T) T = cap;
-    fwd.resize((size_t)n);
-    rc.resize((size_t)n);
     const uint32_t* w = words + word_off[r];
-    uint8_t* fp_ = fwd.data();
-    uint8_t* rp_ = rc.data();
-    auto unpack_range = [w, fp_, rp_](int64_t lo, int64_t hi) {
-      for (int64_t i = lo; i < hi; ++i) {
-        const uint8_t c = (uint8_t)((w[i >> 4] >> (2 * (i & 15))) & 3u);
-        fp_[i] = c;
-        rp_[i] = (uint8_t)(3 - c);
-      }
-    };
+    const int32_t* e0 = exc + exc_off[r];
+    const int32_t* e1 = exc + exc_off[r + 1];
     std::fill(tmp.begin(), tmp.end(), kEmpty);
     if (T <= 1) {
-      unpack_range(0, n);
-      for (int64_t e = exc_off[r]; e < exc_off[r + 1]; ++e)
-        rp_[exc[e]] = 0;
-      nq_sketch_codes(fp_, rp_, n, K, lF, W, H, mask_M, max_rem, tmp.data());
+      sketch_packed_range(w, e0, e1, 0, nk, K, lF, W, H, mask_M, max_rem,
+                          tmp.data());
     } else {
-      th.clear();
-      const int64_t uper = (n + T - 1) / T;
-      for (int64_t t = 1; t < T; ++t) {
-        const int64_t lo = t * uper, hi = std::min(n, lo + uper);
-        if (lo < hi) th.emplace_back(unpack_range, lo, hi);
-      }
-      unpack_range(0, std::min(n, uper));
-      for (auto& x : th) x.join();
-      for (int64_t e = exc_off[r]; e < exc_off[r + 1]; ++e)
-        rp_[exc[e]] = 0;
       parts.assign((size_t)((T - 1) * F), kEmpty);
       th.clear();
       const int64_t per = nk / T;
@@ -1003,14 +1025,14 @@ void nq_sketch_packed_whole_mt(const uint32_t* words, const int64_t* word_off,
         const int64_t lo = t * per;
         const int64_t hi = (t == T - 1) ? nk : lo + per;
         int32_t* pt = parts.data() + (size_t)((t - 1) * F);
-        th.emplace_back([fp_, rp_, lo, hi, K, lF, W, H, mask_M, max_rem,
+        th.emplace_back([w, e0, e1, lo, hi, K, lF, W, H, mask_M, max_rem,
                          pt] {
-          nq_sketch_codes(fp_ + lo, rp_ + lo, (hi - lo) + K, K, lF, W, H,
-                          mask_M, max_rem, pt);
+          sketch_packed_range(w, e0, e1, lo, hi, K, lF, W, H, mask_M,
+                              max_rem, pt);
         });
       }
-      nq_sketch_codes(fp_, rp_, per + K, K, lF, W, H, mask_M, max_rem,
-                      tmp.data());
+      sketch_packed_range(w, e0, e1, 0, per, K, lF, W, H, mask_M, max_rem,
+                          tmp.data());
       for (auto& x : th) x.join();
       for (int64_t t = 1; t < T; ++t) {
         const int32_t* pt = parts.data() + (size_t)((t - 1) * F);
