@@ -168,6 +168,10 @@ class LineReader {
   // Compressed files up to this size are decoded whole-buffer via
   // libdeflate; larger ones stream through zlib with bounded memory.
   static constexpr size_t kWholeFileLimit = size_t(1) << 29;  // 512 MiB
+  // ... and the DECODED bytes are capped too: gzip ratios are unbounded
+  // (a 400 MB FASTQ .gz can be ~4 GB of text), and the streaming contract
+  // is window-bounded RSS. Past this, fall back to the zlib stream.
+  static constexpr size_t kWholeDecodedLimit = size_t(1) << 30;  // 1 GiB
 
   explicit LineReader(const char* path)
       : file_(nullptr), buf_(0), pos_(0), end_(0), eof_(false) {
@@ -330,6 +334,10 @@ class LineReader {
     HVec out;
     size_t cap = isize ? isize : raw.size() * 4 + (1 << 20);
     if (cap < raw.size()) cap = raw.size() * 4 + (1 << 20);
+    if (cap > kWholeDecodedLimit) {
+      libdeflate_free_decompressor(d);
+      return false;  // too big decoded: stream through zlib instead
+    }
     out.resize(cap);
     size_t in_pos = 0, out_pos = 0;
     while (in_pos < raw.size()) {
@@ -338,7 +346,12 @@ class LineReader {
           d, raw.data() + in_pos, raw.size() - in_pos, out.data() + out_pos,
           out.size() - out_pos, &actual_in, &actual_out);
       if (r == LIBDEFLATE_INSUFFICIENT_SPACE) {
-        out.resize(out.size() * 2 + (1 << 20));
+        if (out.size() >= kWholeDecodedLimit) {
+          libdeflate_free_decompressor(d);
+          return false;  // decoded size exceeds the whole-buffer budget
+        }
+        size_t grown = out.size() * 2 + (1 << 20);
+        out.resize(grown < kWholeDecodedLimit ? grown : kWholeDecodedLimit);
         continue;
       }
       if (r != LIBDEFLATE_SUCCESS) {

@@ -282,6 +282,7 @@ def _run_inner(args) -> int:
         engine.insert_fof_whole(index, args.index)
     if args.indexlines:
         if not _openable(args.indexlines):
+            out.close()  # deterministic trailer: not a corrupt half-gzip
             return 1  # the reference crashes (uncaught zstr exception)
         engine.insert_file_lines(index, args.indexlines)
     if args.indexdownload:
@@ -316,10 +317,12 @@ def _run_inner(args) -> int:
         print(_row("Query lasted (s)", f"{time.time() - t0:g}"))
     if args.query:
         if not _openable(args.query):
+            out.close()
             return 1  # the reference crashes (uncaught zstr exception)
         engine.query_fof_whole(index, args.query, out, pretty=pretty)
     if args.querylines:
         if not _openable(args.querylines):
+            out.close()
             return 1  # the reference crashes (uncaught zstr exception)
         engine.query_file_lines(index, args.querylines, out, pretty=pretty)
     out.close()

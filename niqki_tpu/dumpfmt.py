@@ -88,6 +88,10 @@ def load_dump(path: str, chunk_words: int = 1 << 24):
                 if consumed < len(words):
                     name_blob.append(data[4 * consumed:])
                     tail = b""
+            if not scanner.done:
+                # EOF mid-bucket-stream (disk full / partial copy): loading
+                # would silently return an index with missing fingerprints.
+                raise ValueError("truncated dump bucket stream")
             names_raw = (tail + b"".join(name_blob))
         else:
             data = f.read()
@@ -95,9 +99,13 @@ def load_dump(path: str, chunk_words: int = 1 << 24):
             sizes = np.empty(n_buckets, dtype=np.int64)
             pos = 0
             for k in range(n_buckets):
+                if pos >= len(words):
+                    raise ValueError("truncated dump bucket stream")
                 s = int(words[pos])
                 sizes[k] = s
                 pos += 1 + s
+            if pos > len(words):
+                raise ValueError("truncated dump bucket stream")
             total = int(sizes.sum())
             bucket_of_gid = np.repeat(
                 np.arange(n_buckets, dtype=np.int64), sizes)

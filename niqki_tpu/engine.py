@@ -90,6 +90,12 @@ def query_file_lines(index: SketchIndex, path: str, out: GzTextWriter,
     # and only (n, G) counts come back. Rows stream in file order. Pretty
     # rows format natively per chunk (hit extraction + %.6g of a 32k-read
     # block measured ~1.5s of Python per 100k reads).
+    # The chunk's (batch, G) counts block lives on device (and crosses
+    # d2h): at big G a 32k-record chunk is a multi-GB allocation (32k x
+    # 100k int32 = 13 GB — over a v5e's HBM), so halve the chunk until
+    # batch * G stays within ~1 GB of int32.
+    while batch > (1 << 11) and batch * max(index.G, 1) > (1 << 28):
+        batch //= 2
     from . import native
     from .index import hits_from_counts_batch
     fmt = None

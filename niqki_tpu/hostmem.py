@@ -127,9 +127,22 @@ def write_direct(path: str, arr: np.ndarray) -> None:
             f.write(memoryview(b[bulk:]))
 
 
+def _readinto_exact(f, mv) -> None:
+    """readinto() until ``mv`` is full; raises on EOF (a truncated input
+    must never silently leave zero-filled rows — fingerprint 0 is valid)."""
+    got, n = 0, len(mv)
+    while got < n:
+        r = f.readinto(mv[got:])
+        if not r:
+            raise OSError(f"short read: {got} of {n} bytes")
+        got += r
+
+
 def read_direct(path: str, arr: np.ndarray) -> None:
     """Fill ``arr`` (C-contiguous) from ``path``'s bytes, O_DIRECT for the
-    aligned bulk. ``arr`` must be exactly the file's size."""
+    aligned bulk. ``arr`` must be exactly the file's size; raises OSError
+    when the file is shorter (e.g. a checkpoint shard truncated by a
+    crash)."""
     if not arr.flags.c_contiguous:
         raise ValueError("read_direct needs a C-contiguous destination")
     b = arr.reshape(-1).view(np.uint8)
@@ -143,7 +156,7 @@ def read_direct(path: str, arr: np.ndarray) -> None:
             fd = -1
     if fd < 0:
         with open(path, "rb") as f:
-            f.readinto(memoryview(b))
+            _readinto_exact(f, memoryview(b))
         return
     try:
         mv = memoryview(b)
@@ -154,12 +167,14 @@ def read_direct(path: str, arr: np.ndarray) -> None:
                 raise OSError("short O_DIRECT read")
             got += r
     except OSError:
+        # O_DIRECT can fail for alignment/filesystem reasons; retry
+        # buffered from scratch (which itself raises if the file is short).
         os.close(fd)
         with open(path, "rb") as f:
-            f.readinto(memoryview(b))
+            _readinto_exact(f, memoryview(b))
         return
     os.close(fd)
     if n > bulk:
         with open(path, "rb") as f:
             f.seek(bulk)
-            f.readinto(memoryview(b[bulk:]))
+            _readinto_exact(f, memoryview(b[bulk:]))

@@ -609,7 +609,8 @@ class SketchIndex:
                 self._device_planes = bcount.build_index_planes(
                     self._stored(), p.W)
             return np.asarray(bcount.match_counts_planes(
-                q, self._device_planes, self.G, p.W, interpret=interp))
+                q, self._device_planes, self.G, p.W, interpret=interp,
+                sanitized=True))
         if mode in ("auto", "pcount") and self.G >= 4096 \
                 and p.W <= 14 and pcount.available(p.F):
             if self._device_packed is None:

@@ -163,17 +163,25 @@ def build_index_planes(mat: np.ndarray, W: int, row_chunk: int = 16384):
 
 
 def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        sanitized: bool = False) -> jnp.ndarray:
     """counts (Q, G) int32 of host queries q_np (Q, F) against pre-packed
     device bit-planes xp (W+1, Gp, F/32).
 
     Queries ship as int16 when W <= 14 (halves the h2d bytes; the sentinel
-    -3 and all W-bit fingerprints fit)."""
+    -3 and all W-bit fingerprints fit). ``sanitized=True`` promises every
+    value is already in [-3, 2^W) (index._query_side output) and skips the
+    range pass — the sanitize would otherwise materialize extra (Q, F)
+    temporaries of fresh first-touch pages (the hostmem pathology)."""
     dt = np.int16 if W <= 14 else np.int32
-    q = np.asarray(q_np, np.int64)
-    # sanitize BEFORE any narrowing cast: an out-of-range value must not
-    # alias a valid fingerprint through int16 wraparound
-    q = np.where((q < 0) | (q >= (1 << W)), -3, q).astype(dt)
+    q = np.asarray(q_np)
+    if q.dtype not in (np.int16, np.int32, np.int64):
+        q = q.astype(np.int64)  # widest: no aliasing before the range pass
+    if not sanitized:
+        # sanitize BEFORE any narrowing cast: an out-of-range value must
+        # not alias a valid fingerprint through int16 wraparound
+        q = np.where((q < 0) | (q >= (1 << W)), q.dtype.type(-3), q)
+    q = np.ascontiguousarray(q, dt)
     Q, F = q.shape
     Qp = -(-Q // BLOCK_Q) * BLOCK_Q
     if Qp != Q:

@@ -183,6 +183,17 @@ def test_missing_query_fof_message(tmp_path, capsys):
     assert "Unable to open the file" in capsys.readouterr().out
 
 
+def test_missing_querylines_closes_output(tmp_path, capsys):
+    """Early error exits must close -O deterministically: a header-only
+    gzip with no trailer would crash downstream readers."""
+    import gzip as _gzip
+    o = tmp_path / "o.gz"
+    rc = cli.main(["-l", str(tmp_path / "missing.fq"), "-O", str(o)])
+    assert rc == 1
+    assert _gzip.open(str(o), "rb").read() == b""  # valid, empty
+    capsys.readouterr()
+
+
 def test_missing_load_dump_message(tmp_path, capsys):
     rc = cli.main(["-L", str(tmp_path / "missing.bin"),
                    "-O", str(tmp_path / "o.gz")])

@@ -58,6 +58,25 @@ def test_direct_unaligned_buffer_falls_back(tmp_path):
     assert np.array_equal(dst, a)
 
 
+def test_truncated_shard_raises(tmp_path):
+    """A checkpoint shard truncated by a crash must fail the load — raw v2
+    blocks have no CRC, and fingerprint 0 is valid, so a silent zero-fill
+    would count against garbage rows."""
+    import os
+    import pytest
+    p = SketchParams(lF=12)
+    idx = SketchIndex(p)
+    rng = np.random.default_rng(7)
+    for i in range(8):
+        idx.insert_sketch(rng.integers(-1, 1 << p.W, p.F, np.int32), f"g{i}")
+    d = str(tmp_path / "ck")
+    idx.save_sharded(d, num_shards=2, compress=False)
+    shard = os.path.join(d, "shard_00001.bin")
+    os.truncate(shard, os.path.getsize(shard) - 4096)
+    with pytest.raises(OSError, match="short"):
+        SketchIndex.load_sharded(d)
+
+
 def test_sharded_checkpoint_uses_direct_io(tmp_path):
     """Uncompressed sharded checkpoints roundtrip byte-identically through
     the O_DIRECT path (small F exercises the unaligned-tail fallback too)."""

@@ -54,6 +54,27 @@ def test_dump_roundtrip(tmp_path):
     assert names == [f"g{i}" for i in range(5)]
 
 
+def test_truncated_dump_raises(tmp_path, monkeypatch):
+    """A dump cut mid-bucket-stream must raise, not load a silently
+    incomplete index (both the native scanner and the numpy fallback)."""
+    import pytest
+    from niqki_tpu import native
+    p = SketchParams(lF=4, W=8, H=3)
+    rng = np.random.default_rng(2)
+    sk = rng.integers(0, p.fingerprint_range, size=(5, p.F)).astype(np.int32)
+    path = str(tmp_path / "d.bin")
+    save_dump(path, p, sk, [f"g{i}" for i in range(5)])
+    raw = gzip.open(path, "rb").read()
+    cut = str(tmp_path / "cut.bin")
+    with gzip.open(cut, "wb") as f:
+        f.write(raw[:len(raw) // 2])     # inside the bucket stream
+    with pytest.raises(ValueError, match="truncated dump"):
+        load_dump(cut)
+    monkeypatch.setattr(native, "available", lambda: False)
+    with pytest.raises(ValueError, match="truncated dump"):
+        load_dump(cut)
+
+
 def test_dump_matches_reference_bytes(fixtures, tmp_path):
     """Re-serializing a reference dump reproduces it byte-for-byte."""
     path = str(fixtures / "dump_tiny_s5.bin")
