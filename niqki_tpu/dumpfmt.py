@@ -14,8 +14,9 @@ Because every indexed genome contributes exactly one fingerprint per slot
 all genome ids; this module converts between that inverted layout and the
 dense (G, F) fingerprint matrix the TPU engine uses natively.
 
-A native sharded checkpoint format (one npz per genome-range shard plus a JSON
-manifest) lives in index.py; this module is only the parity/interop format.
+A native sharded checkpoint format (v2: raw little-endian int32 row blocks —
+optionally one-shot-gzip'd — plus per-shard name blobs and a JSON manifest)
+lives in index.py; this module is only the parity/interop format.
 """
 
 from __future__ import annotations

@@ -568,7 +568,12 @@ class SketchIndex:
             from .parallel.auto import active_mesh
             mesh = active_mesh()
             if mesh is not None:
-                if self._sharded is None or self._sharded.G != self.G:
+                # Rebuild on G change AND on mesh change: flipping
+                # NIQKI_TPU_MESH between counts calls in one process must
+                # not reuse a stale device layout (active_mesh caches one
+                # Mesh object per spec, so identity comparison suffices).
+                if self._sharded is None or self._sharded.G != self.G \
+                        or self._sharded.mesh is not mesh:
                     from .parallel.serving import ShardedIndex
                     self._sharded = ShardedIndex(self, mesh)
                 return self._sharded.counts(self._query_side(raw))
@@ -608,6 +613,10 @@ class SketchIndex:
             if self._device_planes is None:
                 self._device_planes = bcount.build_index_planes(
                     self._stored(), p.W)
+            # sanitized=True contract: _query_side mapped everything outside
+            # [0, 2^W) to -3, so q is within [-3, 2^W) — bcount skips its
+            # range pass on that promise (debug-checked under
+            # NIQKI_TPU_DEBUG).
             return np.asarray(bcount.match_counts_planes(
                 q, self._device_planes, self.G, p.W, interpret=interp,
                 sanitized=True))

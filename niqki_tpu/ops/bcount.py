@@ -25,6 +25,7 @@ vregs) and 1 <= W <= 30. Works for ANY W (pcount needs W <= 14).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -177,6 +178,12 @@ def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
     q = np.asarray(q_np)
     if q.dtype not in (np.int16, np.int32, np.int64):
         q = q.astype(np.int64)  # widest: no aliasing before the range pass
+    if sanitized and os.environ.get("NIQKI_TPU_DEBUG"):
+        # The sanitized=True contract is an unchecked caller promise: an
+        # out-of-range value here would alias a valid fingerprint through
+        # the int16 narrowing below. Cheap debug-mode verification.
+        assert q.size == 0 or (q.min() >= -3 and q.max() < (1 << W)), \
+            "sanitized=True caller broke the [-3, 2^W) contract"
     if not sanitized:
         # sanitize BEFORE any narrowing cast: an out-of-range value must
         # not alias a valid fingerprint through int16 wraparound

@@ -9,11 +9,12 @@ network laid out for the VPU:
   * stages with stride >= 128 are row-pair compare-exchanges — full-width
     vector min/max over sublane-reshaped views;
   * stages with stride < 128 are lane shuffles via pltpu.roll + masks;
-  * each 2^18-element chunk is sorted entirely in VMEM (one HBM read+write
-    for the first 18 of the m(m+1)/2 rounds), then cross-chunk merge stages
-    stream row blocks, then in-chunk merge tails run VMEM-resident again.
+  * each 2^17-element chunk (CHUNK_LOG) is sorted entirely in VMEM (one HBM
+    read+write covers all stages with stride < 2^17), then cross-chunk merge
+    stages stream row blocks, then in-chunk merge tails run VMEM-resident
+    again.
 
-Total HBM traffic is ~(2 + 2*(m-18) passes) instead of one pass per network
+Total HBM traffic is ~(2 + 2*(m-17) passes) instead of one pass per network
 stage. All control flow is static; direction bits come from program ids and
 broadcasted iotas, matching the textbook network exactly (ascending iff bit
 k of the element index is 0).

@@ -89,20 +89,25 @@ def draw_case(rng) -> list[str]:
 
 
 class ReferenceHang(Exception):
-    """The reference binary exceeded the per-run timeout. Known reference
-    infinite loops exist (densification when no value can reach an empty
-    slot — e.g. tiny W with -G stale constants; multi-record whole-file
-    mode), all documented divergences: our side terminates. Treated as a
-    skipped trial, not a failure."""
+    """The reference binary exceeded the per-run timeout twice (60s, then a
+    300s retry — a merely SLOW run must not bypass the differential check).
+    Known reference infinite loops exist (densification when no value can
+    reach an empty slot — e.g. tiny W with -G stale constants; multi-record
+    whole-file mode), all documented divergences: our side terminates.
+    Counted as a distinct 'hang' outcome in the soak summary, never as a
+    passing trial."""
 
 
 def run_ref(exe, args, cwd):
-    try:
-        subprocess.run([str(exe)] + args, cwd=cwd, check=True,
-                       capture_output=True, timeout=60,
-                       env={"OMP_NUM_THREADS": "1", "PATH": "/usr/bin:/bin"})
-    except subprocess.TimeoutExpired as e:
-        raise ReferenceHang(args) from e
+    env = {"OMP_NUM_THREADS": "1", "PATH": "/usr/bin:/bin"}
+    for timeout in (60, 300):
+        try:
+            subprocess.run([str(exe)] + args, cwd=cwd, check=True,
+                           capture_output=True, timeout=timeout, env=env)
+            return
+        except subprocess.TimeoutExpired:
+            log(f"reference run exceeded {timeout}s: {args}")
+    raise ReferenceHang(args)
 
 
 def run_ours(args):
@@ -112,7 +117,9 @@ def run_ours(args):
     return rc
 
 
-def one_trial(exe, base: pathlib.Path, trial: int, seed: int) -> bool:
+def one_trial(exe, base: pathlib.Path, trial: int, seed: int) -> str:
+    """Returns 'pass', 'fail', or 'hang' (reference never finished — the
+    differential could not be run; counted separately, not as a pass)."""
     rng = np.random.default_rng(seed * 1_000_003 + trial)
     d = base / f"t{trial}"
     d.mkdir()
@@ -121,13 +128,14 @@ def one_trial(exe, base: pathlib.Path, trial: int, seed: int) -> bool:
     mode = int(rng.integers(0, 4))
     cwd0 = os.getcwd()
     try:
-        return _trial_body(exe, d, fof, reads, case, mode, trial)
+        ok = _trial_body(exe, d, fof, reads, case, mode, trial)
+        return "pass" if ok else "fail"
     except ReferenceHang as e:
-        log(f"trial {trial}: reference binary hung (known divergence "
-            f"family), skipping: {e.args[0]}")
+        log(f"trial {trial}: reference binary hung twice (documented "
+            f"divergence family or pathological case): {e.args[0]}")
         os.chdir(cwd0)
         shutil.rmtree(d)
-        return True
+        return "hang"
     finally:
         os.chdir(cwd0)
 
@@ -186,15 +194,19 @@ def main():
     args = ap.parse_args()
     base = pathlib.Path(tempfile.mkdtemp(prefix="niqki_soak_"))
     exe = compile_reference(base)
-    ok = 0
+    ok = hangs = 0
     for t in range(args.trials):
-        if not one_trial(exe, base, t, args.seed):
-            log(f"FAILED after {ok} passing trials; repro under {base}")
+        outcome = one_trial(exe, base, t, args.seed)
+        if outcome == "fail":
+            log(f"FAILED after {ok} passing trials ({hangs} hangs); "
+                f"repro under {base}")
             return 1
-        ok += 1
-        if ok % 10 == 0:
-            log(f"{ok}/{args.trials} trials OK")
-    log(f"all {ok} trials byte-identical")
+        ok += outcome == "pass"
+        hangs += outcome == "hang"
+        if (t + 1) % 10 == 0:
+            log(f"{t + 1}/{args.trials} trials: {ok} OK, {hangs} hangs")
+    log(f"{ok} trials byte-identical, {hangs} reference hangs "
+        f"(documented-divergence skips)")
     shutil.rmtree(base)
     return 0
 
