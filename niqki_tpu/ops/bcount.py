@@ -163,17 +163,35 @@ def build_index_planes(mat: np.ndarray, W: int, row_chunk: int = 16384):
     return jax.block_until_ready(out)
 
 
+@functools.partial(jax.jit, static_argnames=("W", "interpret"))
+def _pack_count_call(qblk, xp, *, W: int, interpret: bool = False):
+    """One fused per-block dispatch: device-side bit-plane pack of a query
+    block + the Pallas count. Keeping pack+count in one jit halves the
+    per-block RPC round-trips on the remote transport."""
+    qp = pack_bitplanes(qblk, W=W, query=True)
+    return _bcount_call(qp, xp, interpret=interpret)
+
+
 def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
                         interpret: bool = False,
                         sanitized: bool = False) -> jnp.ndarray:
     """counts (Q, G) int32 of host queries q_np (Q, F) against pre-packed
     device bit-planes xp (W+1, Gp, F/32).
 
-    Queries ship as int16 when W <= 14 (halves the h2d bytes; the sentinel
-    -3 and all W-bit fingerprints fit). ``sanitized=True`` promises every
-    value is already in [-3, 2^W) (index._query_side output) and skips the
-    range pass — the sanitize would otherwise materialize extra (Q, F)
-    temporaries of fresh first-touch pages (the hostmem pathology)."""
+    Queries ship as int16 when W <= 14 (the sentinel -3 and all W-bit
+    fingerprints fit), one BLOCK_Q block per transfer, with the next
+    block's h2d overlapping the current block's kernel (a dedicated ship
+    thread keeps two transfers in flight). int16 is the MEASURED optimal
+    wire format on the remote transport: its stream compressor moves
+    12-bit-in-int16 at ~50 MB/s vs ~33 MB/s for dense random bytes, so
+    pre-packed bit-planes (81% of the int16 bytes but incompressible)
+    transfer SLOWER than the sparse int16 layout — the wire cost is
+    entropy-bound, not byte-bound (measured 2026-08; see bench_scale).
+
+    ``sanitized=True`` promises every value is already in [-3, 2^W)
+    (index._query_side output) and skips the range pass — the sanitize
+    would otherwise materialize extra (Q, F) temporaries of fresh
+    first-touch pages (the hostmem pathology)."""
     dt = np.int16 if W <= 14 else np.int32
     q = np.asarray(q_np)
     if q.dtype not in (np.int16, np.int32, np.int64):
@@ -193,10 +211,27 @@ def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
     Qp = -(-Q // BLOCK_Q) * BLOCK_Q
     if Qp != Q:
         q = np.vstack([q, np.full((Qp - Q, F), -3, dt)])
-    qp = pack_bitplanes(jnp.asarray(q), W=W, query=True)
-    outs = [_bcount_call(qp[:, lo:lo + BLOCK_Q], xp, interpret=interpret)
-            for lo in range(0, Qp, BLOCK_Q)]
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    blocks = list(range(0, Qp, BLOCK_Q))
+    if len(blocks) == 1:
+        out = _pack_count_call(jnp.asarray(q), xp, W=W, interpret=interpret)
+        return out[:Q, :G]
+    # Pipelined: ship block i+1 while block i's kernel runs. On the remote
+    # transport this hides all but the LAST block's kernel behind the wire
+    # (measured 487 -> 650 q/s at Q=288, G=100k); on local backends the
+    # ship thread is harmless (device_put is cheap).
+    from concurrent.futures import ThreadPoolExecutor
+    outs = []
+    with ThreadPoolExecutor(1) as ship:
+        futs = [ship.submit(jax.device_put, q[lo:lo + BLOCK_Q])
+                for lo in blocks[:2]]
+        for i, lo in enumerate(blocks):
+            dev = futs.pop(0).result()
+            if i + 2 < len(blocks):
+                nxt = blocks[i + 2]
+                futs.append(ship.submit(jax.device_put,
+                                        q[nxt:nxt + BLOCK_Q]))
+            outs.append(_pack_count_call(dev, xp, W=W, interpret=interpret))
+    out = jnp.concatenate(outs, axis=0)
     return out[:Q, :G]
 
 

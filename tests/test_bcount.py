@@ -113,3 +113,20 @@ def test_bitplane_multi_chunk_F():
     got = np.asarray(bcount.match_counts_bitplane(q, g, W, interpret=True))
     np.testing.assert_array_equal(got, _ref_counts(q, g))
     assert got[0, 5] == F
+
+
+def test_pipelined_multiblock_matches_dense():
+    """Q > 2*BLOCK_Q exercises the pipelined ship-thread path of
+    match_counts_planes (overlapped per-block h2d + fused pack+count);
+    results must be identical to the dense compare, including the padded
+    tail block and sentinel queries inside the stream."""
+    rng = np.random.default_rng(5)
+    W, F, G = 12, 4096, 130
+    Q = 2 * bcount.BLOCK_Q + 17          # 3 blocks, padded tail
+    g = rng.integers(0, 1 << W, size=(G, F)).astype(np.int32)
+    q = rng.integers(-4, 1 << W, size=(Q, F)).astype(np.int32)
+    q[97] = g[77]                        # exact row match in block 2
+    got = np.asarray(bcount.match_counts_bitplane(q, g, W, interpret=True))
+    assert got.shape == (Q, G)
+    np.testing.assert_array_equal(got, _ref_counts(q, g))
+    assert got[97, 77] == F
