@@ -86,9 +86,11 @@ def _bcount_kernel(qb: int, P: int):
             o_ref[:] = jnp.zeros_like(o_ref)
 
         for qi in range(qb):
-            # XNOR(x, q) == x ^ ~q; ~q folded in here (2 ops per plane).
-            # q slices are (1, cl): sublane-broadcast against the
-            # (TILE_G, cl) x planes.
+            # XNOR(x, q) == x ^ ~q; ~q folded in here (Mosaic fuses the
+            # NOT into the xor: a pre-inverted-query-planes variant
+            # measured NEUTRAL on v5e — 1635 vs 1651 q/s at G=100k — so
+            # each plane really is 2 ops). q slices are (1, cl):
+            # sublane-broadcast against the (TILE_G, cl) x planes.
             m = x_ref[0] ^ ~q_ref[0, qi:qi + 1, :]
             for p in range(1, P):
                 m &= x_ref[p] ^ ~q_ref[p, qi:qi + 1, :]
@@ -172,21 +174,80 @@ def _pack_count_call(qblk, xp, *, W: int, interpret: bool = False):
     return _bcount_call(qp, xp, interpret=interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("B", "W", "interpret"))
+def _pack_count_call_split(wirebuf, xp, *, B: int, W: int,
+                           interpret: bool = False):
+    """Split-wire variant of _pack_count_call: reconstruct W<=12-bit
+    fingerprints from the single-buffer 3-stream wire (mantissa bytes,
+    nibble-packed exponents, validity bitmask), then pack + count in the
+    same dispatch. The reconstruction is all elementwise/reshape — XLA
+    fuses it into the pack; no extra HBM round trip."""
+    F = wirebuf.size * 8 // (13 * B)
+    lo = wirebuf[:B * F].reshape(B, F)
+    nib = wirebuf[B * F:B * F + B * F // 2].reshape(B, F // 2)
+    mask = wirebuf[B * F + B * F // 2:].reshape(B, F // 8)
+    n = nib.astype(jnp.int32)
+    exp = jnp.stack([n & 15, n >> 4], axis=-1).reshape(B, -1)
+    m = mask.astype(jnp.int32)
+    bits = jnp.stack([(m >> k) & 1 for k in range(8)],
+                     axis=-1).reshape(B, -1)
+    q12 = lo.astype(jnp.int32) | (exp << 8)
+    qv = jnp.where(bits == 1, q12, -3)
+    qp = pack_bitplanes(qv, W=W, query=True)
+    return _bcount_call(qp, xp, interpret=interpret)
+
+
+def _split_wire_block(blk: np.ndarray) -> np.ndarray:
+    """int16 sanitized block (B, F) -> one 1-D uint8 wire buffer holding
+    three contiguous streams:
+
+    lo   B*F     mantissa bytes (uniform — the irreducible wire content)
+    nib  B*F/2   two 4-bit exponents per byte (low-entropy stream)
+    mask B*F/8   validity bits, little bit-order (near-all-ones: the
+                 transport's compressor eats it)
+
+    1.625 bytes/slot raw vs int16's 2.0, with the compressible content
+    segregated from the uniform mantissa so the transport's stream
+    compressor sees homogeneous streams — and ONE h2d RPC per block
+    instead of three. Requires the sanitized contract (values in
+    [-3, 2^W), W <= 12): the only negatives are the -3 sentinel, so
+    validity is just (blk >= 0), and the 0xFF high byte of a sentinel is
+    masked to 4 bits before nibble packing."""
+    B, F = blk.shape
+    b = blk.view(np.uint8).reshape(B, F, 2)  # little-endian
+    out = np.empty(B * F + B * F // 2 + B * F // 8, np.uint8)
+    out[:B * F] = b[..., 0].ravel()
+    hi = b[..., 1] & np.uint8(0xF)
+    nv = out[B * F:B * F + B * F // 2].reshape(B, F // 2)
+    np.bitwise_or(hi[:, 0::2], hi[:, 1::2] << np.uint8(4), out=nv)
+    out[B * F + B * F // 2:] = np.packbits(blk >= 0, axis=1,
+                                           bitorder="little").ravel()
+    return out
+
+
 def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
                         interpret: bool = False,
                         sanitized: bool = False) -> jnp.ndarray:
     """counts (Q, G) int32 of host queries q_np (Q, F) against pre-packed
     device bit-planes xp (W+1, Gp, F/32).
 
-    Queries ship as int16 when W <= 14 (the sentinel -3 and all W-bit
-    fingerprints fit), one BLOCK_Q block per transfer, with the next
-    block's h2d overlapping the current block's kernel (a dedicated ship
-    thread keeps two transfers in flight). int16 is the MEASURED optimal
-    wire format on the remote transport: its stream compressor moves
-    12-bit-in-int16 at ~50 MB/s vs ~33 MB/s for dense random bytes, so
-    pre-packed bit-planes (81% of the int16 bytes but incompressible)
-    transfer SLOWER than the sparse int16 layout — the wire cost is
-    entropy-bound, not byte-bound (measured 2026-08; see bench_scale).
+    Queries ship one BLOCK_Q block per transfer, with the next block's h2d
+    overlapping the current block's kernel (a dedicated ship thread keeps
+    two transfers in flight). Wire format (NIQKI_TPU_WIRE): the default
+    ``split`` ships three segregated streams per block — mantissa bytes,
+    nibble-packed exponents, validity bitmask (1.625 B/slot raw) — and
+    ``int16`` ships one (B, F) int16 array (2.0 B/slot). MEASURED on the
+    tunnel transport (tools/wire_probe.py, tools/e2e_probe.py, 2026-08):
+    the transport compresses its stream to ~order-0 entropy either way, so
+    at full transport speed the two tie (634 vs 637 q/s e2e at G=100k);
+    on congested days the transport is scan-bound on RAW bytes and the
+    split wire is ~2x faster (0.58 s vs 1.16 s per 288 queries). Both lose
+    less than pre-packed bit-planes (81% of the int16 bytes but
+    incompressible — a measured LOSS). The wire FLOOR is the sketch's own
+    entropy: 8 uniform mantissa bits + ~2.8 exponent-entropy bits per slot
+    = ~12.7 MB per 288 queries at F=32768, which at the tunnel's ~38 MB/s
+    compressed-byte rate bounds e2e below ~735 q/s at Q=288 regardless of
+    format.
 
     ``sanitized=True`` promises every value is already in [-3, 2^W)
     (index._query_side output) and skips the range pass — the sanitize
@@ -212,25 +273,48 @@ def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
     if Qp != Q:
         q = np.vstack([q, np.full((Qp - Q, F), -3, dt)])
     blocks = list(range(0, Qp, BLOCK_Q))
+
+    # Wire format: NIQKI_TPU_WIRE=int16|split (default split for W<=12).
+    # Both are measured on the tunnel transport (tools/wire_probe.py +
+    # bench_scale); the split wire ships 1.625 bytes/slot in segregated
+    # streams, int16 ships 2.0 with exponent bytes interleaved. The
+    # transport's own compressor narrows the gap (it eats the low-entropy
+    # exponent bytes either way), so both stay selectable.
+    wire = os.environ.get("NIQKI_TPU_WIRE", "split")
+    use_split = wire == "split" and W <= 12 and dt == np.int16
+
+    if use_split:
+        def ship(lo_):
+            return jax.device_put(_split_wire_block(q[lo_:lo_ + BLOCK_Q]))
+
+        def dispatch(dev):
+            return _pack_count_call_split(dev, xp, B=BLOCK_Q, W=W,
+                                          interpret=interpret)
+    else:
+        def ship(lo_):
+            return jax.device_put(q[lo_:lo_ + BLOCK_Q])
+
+        def dispatch(dev):
+            return _pack_count_call(dev, xp, W=W, interpret=interpret)
+
     if len(blocks) == 1:
-        out = _pack_count_call(jnp.asarray(q), xp, W=W, interpret=interpret)
+        out = dispatch(ship(0))
         return out[:Q, :G]
     # Pipelined: ship block i+1 while block i's kernel runs. On the remote
     # transport this hides all but the LAST block's kernel behind the wire
     # (measured 487 -> 650 q/s at Q=288, G=100k); on local backends the
-    # ship thread is harmless (device_put is cheap).
+    # ship thread is harmless (device_put is cheap). The host-side split
+    # pack (view/strided copies, ~5 MB/block) also runs in the ship
+    # thread, overlapped with the current block's kernel.
     from concurrent.futures import ThreadPoolExecutor
     outs = []
-    with ThreadPoolExecutor(1) as ship:
-        futs = [ship.submit(jax.device_put, q[lo:lo + BLOCK_Q])
-                for lo in blocks[:2]]
+    with ThreadPoolExecutor(1) as shipper:
+        futs = [shipper.submit(ship, lo) for lo in blocks[:2]]
         for i, lo in enumerate(blocks):
             dev = futs.pop(0).result()
             if i + 2 < len(blocks):
-                nxt = blocks[i + 2]
-                futs.append(ship.submit(jax.device_put,
-                                        q[nxt:nxt + BLOCK_Q]))
-            outs.append(_pack_count_call(dev, xp, W=W, interpret=interpret))
+                futs.append(shipper.submit(ship, blocks[i + 2]))
+            outs.append(dispatch(dev))
     out = jnp.concatenate(outs, axis=0)
     return out[:Q, :G]
 

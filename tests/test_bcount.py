@@ -130,3 +130,45 @@ def test_pipelined_multiblock_matches_dense():
     assert got.shape == (Q, G)
     np.testing.assert_array_equal(got, _ref_counts(q, g))
     assert got[97, 77] == F
+
+
+import pytest
+
+
+@pytest.mark.parametrize("wire", ["int16", "split"])
+def test_wire_formats_match_dense(wire, monkeypatch):
+    """Both query wire formats (NIQKI_TPU_WIRE) produce identical counts:
+    the split wire (mantissa bytes + nibble exponents + validity bitmask,
+    ops/bcount._split_wire_block) is a pure layout change."""
+    monkeypatch.setenv("NIQKI_TPU_WIRE", wire)
+    rng = np.random.default_rng(11)
+    W, F, G = 12, 4096, 130
+    Q = 2 * bcount.BLOCK_Q + 5
+    g = rng.integers(0, 1 << W, size=(G, F)).astype(np.int32)
+    q = rng.integers(-4, 1 << W, size=(Q, F)).astype(np.int32)
+    q[3] = g[129]
+    q[bcount.BLOCK_Q + 1] = -3            # whole-row sentinel in block 2
+    got = np.asarray(bcount.match_counts_bitplane(q, g, W, interpret=True))
+    np.testing.assert_array_equal(got, _ref_counts(np.where(q < 0, -9, q), g))
+    assert got[3, 129] == F
+
+
+def test_split_wire_block_roundtrip():
+    """Host split -> device-side reconstruction is exact, sentinels included."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12)
+    W, F, B = 12, 4096, 3
+    blk = rng.integers(0, 1 << W, size=(B, F)).astype(np.int16)
+    blk[0, :7] = -3
+    blk[2, ::3] = -3
+    buf = bcount._split_wire_block(blk)
+    assert buf.shape == (B * F + B * F // 2 + B * F // 8,)
+    lo = buf[:B * F].reshape(B, F)
+    nib = buf[B * F:B * F + B * F // 2].reshape(B, F // 2)
+    mask = buf[B * F + B * F // 2:].reshape(B, F // 8)
+    n = nib.astype(np.int32)
+    exp = np.stack([n & 15, n >> 4], axis=-1).reshape(B, -1)
+    m = mask.astype(np.int32)
+    bits = np.stack([(m >> k) & 1 for k in range(8)], axis=-1).reshape(B, -1)
+    rec = np.where(bits == 1, lo.astype(np.int32) | (exp << 8), -3)
+    np.testing.assert_array_equal(rec, blk.astype(np.int32))
