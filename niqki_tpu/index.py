@@ -601,6 +601,12 @@ class SketchIndex:
         q = self._query_side(raw)
         if os.environ.get("NIQKI_TPU_NO_PCOUNT"):
             mode = "xla"
+        if mode == "mxu":
+            # One-hot-matmul prototype (ops/mxucount): parity-exact but
+            # measured ~2 orders of magnitude slower than bcount — kept
+            # routable so the MXU-vs-VPU verdict stays reproducible.
+            from .ops import mxucount
+            return mxucount.match_counts_mxu(q, self._stored(), p.W)
         interp = mode == "bcount-interpret"
         # auto prefers the bit-plane bcount kernel (fastest measured: 509
         # q/s vs pcount's ~460 at G=100k F=32768 on v5e, (W+1)/16 the HBM
