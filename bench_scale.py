@@ -53,6 +53,39 @@ def _synth_genomes_file(n: int, length: int) -> str:
     return path
 
 
+def _synth_clustered_file(n: int, length: int, clusters: int,
+                          mut: float = 0.02) -> str:
+    """A cached FASTA of `clusters` random ancestors, each expanded into
+    n/clusters descendants by iid point mutations (rate `mut`, replacement
+    drawn uniformly incl. the same base -> effective ~0.75*mut). Queries
+    drawn from this set return a whole cluster of real hits — the skewed
+    workload that uniform-random genomes (near-zero counts) never stress."""
+    import gzip
+    cache = os.path.expanduser("~/.cache/niqki_tpu")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"synthc_{n}x{length}c{clusters}.v1.fa.gz")
+    if os.path.exists(path):
+        return path
+    log(f"generating {path} ({clusters} clusters x ~{n//clusters})...")
+    rng = np.random.default_rng(7)
+    alphabet = np.frombuffer(b"ACGT", np.uint8)
+    t0 = time.time()
+    gid = 0
+    with gzip.open(path + ".tmp", "wb", compresslevel=1) as f:
+        for c in range(clusters):
+            anc = rng.choice(alphabet, length)
+            k = n // clusters + (1 if c < n % clusters else 0)
+            muts = rng.random((k, length)) < mut
+            vals = rng.choice(alphabet, (k, length))
+            seqs = np.where(muts, vals, anc[None, :])
+            for i in range(k):
+                f.write(b">c%d_%d\n%s\n" % (c, gid, seqs[i].tobytes()))
+                gid += 1
+    os.rename(path + ".tmp", path)
+    log(f"generated in {time.time()-t0:.0f}s")
+    return path
+
+
 def bench_ingest_e2e(n: int, length: int):
     """VERDICT item 7: a REAL n-genome ingest through the production
     pipeline (gzip -> native parse/pack -> device sketch -> densify ->
@@ -99,6 +132,44 @@ def bench_ingest_e2e(n: int, length: int):
                       "hits_total": int(sum(len(h) for h in hits))}))
 
 
+def bench_matrix(n: int, length: int):
+    """VERDICT r2 item 3: an all-vs-all matrix at G >= 10k through the
+    production path (engine.query_matrix -> device self-join: zero query
+    h2d, uint16 wrap + top-k compaction on device, native row formatting).
+    The legacy path would d2h a dense (batch, G) int32 block per batch;
+    this one ships only top-k survivors.
+
+    Workload: clustered genomes (128 clusters of ~80 relatives at ~1.5%
+    divergence) at lF=12 — F=4096 keeps the sketch DENSE for 10 kb genomes
+    (a 10 kb genome has ~10k k-mers; at S=15's F=32768 most slots stay
+    empty and densification makes even unrelated pairs score ~0.38, a
+    degenerate regime the reference's own docs reserve for >=Mbp genomes;
+    S=15 matrix parity is pinned at golden scale in
+    tests/test_matrix_selfjoin.py)."""
+    from niqki_tpu import SketchIndex, SketchParams, engine
+    from niqki_tpu.io.writers import GzTextWriter
+    path = _synth_clustered_file(n, length, clusters=128)
+    p = SketchParams(lF=12, min_fract=0.05)    # min_score=204 of F=4096
+    idx = SketchIndex(p)
+    t0 = time.time()
+    idx.insert_file_lines(path)
+    ingest_s = time.time() - t0
+    assert idx.G == n
+    out_path = os.path.join(tempfile.gettempdir(), f"matrix_G{n}.gz")
+    t0 = time.time()
+    with GzTextWriter(out_path) as out:
+        engine.query_matrix(idx, out)
+    dt = time.time() - t0
+    sz = os.path.getsize(out_path)
+    os.unlink(out_path)
+    print(json.dumps({"metric": f"matrix_rows_per_s_G{n}",
+                      "value": round(n / dt, 1), "unit": "rows/s",
+                      "wall_s": round(dt, 1),
+                      "ingest_s": round(ingest_s, 1),
+                      "gz_bytes": sz,
+                      "cells_per_s": round(n * n / dt / 1e6, 1)}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--genomes", type=int, default=100_000)
@@ -106,6 +177,8 @@ def main():
     ap.add_argument("--ingest-genomes", type=int, default=100_000,
                     help="real e2e ingest size (0 skips the e2e section)")
     ap.add_argument("--ingest-len", type=int, default=10_000)
+    ap.add_argument("--matrix-genomes", type=int, default=10_240,
+                    help="all-vs-all matrix size (0 skips the section)")
     args = ap.parse_args()
 
     import jax
@@ -276,6 +349,10 @@ def main():
                       "value": round(9 / dt, 2), "unit": "queries/s",
                       "vs_baseline_64core": round(9 / dt / 350.0, 2),
                       "hits_total": int(sum(len(h) for h in hits))}))
+
+    # --- all-vs-all matrix at scale (device self-join path) ---------------
+    if args.matrix_genomes:
+        bench_matrix(args.matrix_genomes, args.ingest_len)
 
     # --- real 100k-genome end-to-end (build-side scale) -------------------
     if args.ingest_genomes:

@@ -1166,7 +1166,148 @@ int64_t nq_scan_dump_stream(const uint32_t* words, int64_t n_words,
   return out;
 }
 
+// ---------------------------------------------------------------------------
+// Matrix-row formatters: dense all-vs-all rows, byte-identical with
+// io.writers.write_matrix_row over a full counts row (reference row writer:
+// /root/reference/src/niqki_index.cpp:747-763 — "%.6g" of count/F for
+// count >= min_score, "0" otherwise, one '\t' after every cell, '\n' per
+// row, query name + '\t' up front). The "%.6g" strings are cached per count
+// value (there are at most F+1 of them). Rows are the index's own genomes
+// row0..row0+B-1 (names/name_off is the full index name blob).
+
+namespace {
+struct JacCache {
+  std::vector<std::string> s;
+  std::vector<bool> set;
+  int64_t F;
+  explicit JacCache(int64_t F_) : s((size_t)F_ + 1), set((size_t)F_ + 1), F(F_) {}
+  const std::string& get(int64_t c) {
+    if (!set[(size_t)c]) {
+      char buf[32];
+      int n = std::snprintf(buf, sizeof buf, "%.6g", (double)c / (double)F);
+      s[(size_t)c].assign(buf, (size_t)n);
+      set[(size_t)c] = true;
+    }
+    return s[(size_t)c];
+  }
+};
+
+// "0\t" repeated: bulk-writes the zero cells between survivors.
+const char* zero_run_buf() {
+  static std::string z = [] {
+    std::string t(8192, '0');
+    for (size_t i = 1; i < t.size(); i += 2) t[i] = '\t';
+    return t;
+  }();
+  return z.data();
+}
+
+inline char* write_zeros(char* w, char* end, int64_t n) {
+  int64_t bytes = 2 * n;
+  if (end - w < bytes) return nullptr;
+  const char* z = zero_run_buf();
+  while (bytes > 0) {
+    int64_t chunk = bytes < 8192 ? bytes : 8192;
+    std::memcpy(w, z, (size_t)chunk);
+    w += chunk;
+    bytes -= chunk;
+  }
+  return w;
+}
+}  // namespace
+
+// Sparse input: per row, `cap` device-compacted (val, gid) candidate pairs
+// (top-k output, any order); entries with val < min_score or val <= 0 when
+// min_score == 0... NOTE: min_score must be >= 1 for the sparse form (at
+// min_score == 0 every cell survives — use the dense form). Entries with
+// val < min_score are ignored; surviving gids must be unique and < G.
+// Returns bytes written, or -1 on capacity overflow.
+int64_t nq_format_matrix_sparse(const int32_t* vals, const int32_t* idx,
+                                int64_t B, int64_t cap, int64_t G, int64_t F,
+                                int64_t min_score, const char* names,
+                                const int64_t* name_off, int64_t row0,
+                                char* out, int64_t out_cap) {
+  if (min_score < 1) return -2;
+  JacCache jac(F);
+  std::vector<std::pair<int32_t, int32_t>> surv;  // (gid, count), gid-sorted
+  char* w = out;
+  char* end = out + out_cap;
+  for (int64_t b = 0; b < B; ++b) {
+    const int32_t* v = vals + b * cap;
+    const int32_t* g = idx + b * cap;
+    surv.clear();
+    for (int64_t k = 0; k < cap; ++k)
+      if (v[k] >= min_score) {
+        if (v[k] > F || g[k] < 0 || g[k] >= G) return -1;
+        surv.emplace_back(g[k], v[k]);
+      }
+    std::sort(surv.begin(), surv.end());
+    const int64_t r = row0 + b;
+    const int64_t nlen = name_off[r + 1] - name_off[r];
+    if (end - w < nlen + 1) return -1;
+    std::memcpy(w, names + name_off[r], (size_t)nlen);
+    w += nlen;
+    *w++ = '\t';
+    int64_t next = 0;
+    for (const auto& sc : surv) {
+      w = write_zeros(w, end, sc.first - next);
+      if (!w) return -1;
+      const std::string& js = jac.get(sc.second);
+      if (end - w < (int64_t)js.size() + 1) return -1;
+      std::memcpy(w, js.data(), js.size());
+      w += js.size();
+      *w++ = '\t';
+      next = sc.first + 1;
+    }
+    w = write_zeros(w, end, G - next);
+    if (!w || end - w < 1) return -1;
+    *w++ = '\n';
+  }
+  return w - out;
+}
+
+// Dense input: (B, G) uint16 wrapped counts (the reference's matrix path
+// counts in uint16, src/niqki_index.cpp:572). Used when min_score == 0
+// (every cell prints count/F) or as the sparse path's overflow fallback.
+int64_t nq_format_matrix_dense(const uint16_t* counts, int64_t B, int64_t G,
+                               int64_t F, int64_t min_score,
+                               const char* names, const int64_t* name_off,
+                               int64_t row0, char* out, int64_t out_cap) {
+  JacCache jac(F);
+  char* w = out;
+  char* end = out + out_cap;
+  for (int64_t b = 0; b < B; ++b) {
+    const uint16_t* row = counts + b * G;
+    const int64_t r = row0 + b;
+    const int64_t nlen = name_off[r + 1] - name_off[r];
+    if (end - w < nlen + 1) return -1;
+    std::memcpy(w, names + name_off[r], (size_t)nlen);
+    w += nlen;
+    *w++ = '\t';
+    for (int64_t g = 0; g < G; ++g) {
+      const int64_t c = row[g];
+      if (c >= min_score && c != 0) {
+        if (c > F) return -1;
+        const std::string& js = jac.get(c);
+        if (end - w < (int64_t)js.size() + 1) return -1;
+        std::memcpy(w, js.data(), js.size());
+        w += js.size();
+        *w++ = '\t';
+      } else {
+        // below threshold prints 0.0; c == 0 above threshold prints
+        // 0/F == 0.0 — "%.6g" renders both as "0"
+        if (end - w < 2) return -1;
+        *w++ = '0';
+        *w++ = '\t';
+      }
+    }
+    if (end - w < 1) return -1;
+    *w++ = '\n';
+  }
+  return w - out;
+}
+
 // Version tag so the Python wrapper can detect ABI drift.
-int64_t nq_abi_version() { return 6; }
+int64_t nq_abi_version() { return 7; }
 
 }  // extern "C"

@@ -116,10 +116,95 @@ def query_file_lines(index: SketchIndex, path: str, out: GzTextWriter,
                 write_binary_hits(out, r[0], hits)
 
 
+def _matrix_selfjoin_mode(index: SketchIndex) -> bool:
+    """Route the all-vs-all through the device self-join when the index
+    bit-planes + native formatter are usable (NIQKI_TPU_MATRIX=
+    auto|selfjoin|dense; auto takes the self-join at G >= 2048, where the
+    legacy path's (batch, G) host counts + Python row formatting stop
+    scaling)."""
+    from . import native
+    mode = os.environ.get("NIQKI_TPU_MATRIX", "auto")
+    if mode == "dense":
+        return False
+    p = index.params
+    ok = (index.backend != "numpy" and native.available()
+          and p.F % 4096 == 0 and 1 <= p.W <= 30)
+    if mode == "selfjoin":
+        if not ok:
+            raise RuntimeError("NIQKI_TPU_MATRIX=selfjoin needs a device "
+                               "backend, the native lib, and bcount's "
+                               "shape gate (F%4096==0, 1<=W<=30)")
+        return True
+    return ok and index.G >= 2048
+
+
+def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> None:
+    """All-vs-all with ZERO query h2d: the queries are the index, already
+    resident as bit-planes, so each block is a device-side slice->requery
+    conversion + count + uint16 wrap + top-k compaction; only surviving
+    (count, gid) pairs cross d2h (min_score > 0), or (B, Gp) uint16 rows
+    when min_score == 0 (every cell prints). Rows format natively
+    (nq_format_matrix_*). Byte-identical with the legacy path (tested
+    against the golden fixtures); replaces the reference's bucket sweep +
+    row writer (/root/reference/src/niqki_index.cpp:570-610,747-763)."""
+    import jax
+    import numpy as np
+    from . import native
+    from .ops import bcount
+    p = index.params
+    interp = jax.devices()[0].platform != "tpu"
+    if index._device_planes is None:
+        index._device_planes = bcount.build_index_planes(
+            index._stored(), p.W, sanitized=True)
+    xp = index._device_planes
+    G, Gp = index.G, xp.shape[1]
+    B = min(bcount.MATRIX_BLOCK, Gp)
+    cap = min(Gp, int(os.environ.get("NIQKI_TPU_MATRIX_CAP", "1024")))
+    sparse = p.min_score > 0
+    fmt = native.MatrixFormatter(index.names, p.F, p.min_score)
+
+    starts = []
+    for lo in range(0, G, B):
+        start = max(0, min(lo, Gp - B))
+        starts.append((lo, start, lo - start, min(B - (lo - start), G - lo)))
+
+    def dispatch(i):
+        lo, start, off, n = starts[i]
+        if sparse:
+            return bcount._self_join_topk(xp, start, B=B, cap=cap,
+                                          interpret=interp)
+        return bcount._self_join_dense(xp, start, B=B, interpret=interp)
+
+    # Dispatch-ahead-by-2: block i+1/i+2's kernels run while block i's
+    # survivors cross d2h and format on the host.
+    pending = [dispatch(i) for i in range(min(2, len(starts)))]
+    for i, (lo, start, off, n) in enumerate(starts):
+        res = pending.pop(0)
+        if i + 2 < len(starts):
+            pending.append(dispatch(i + 2))
+        if sparse:
+            vals, idx = (np.asarray(res[0]), np.asarray(res[1]))
+            vals, idx = vals[off:off + n], idx[off:off + n]
+            if cap < Gp and (vals[:, -1] >= p.min_score).any():
+                # >= cap survivors in some row: re-fetch the block dense
+                # (correct for any survivor density, just more d2h)
+                c = np.asarray(bcount._self_join_dense(
+                    xp, start, B=B, interpret=interp))[off:off + n, :G]
+                out.write(fmt.format_dense(c, lo))
+            else:
+                out.write(fmt.format_sparse(vals, idx, lo))
+        else:
+            c = np.asarray(res)[off:off + n, :G]
+            out.write(fmt.format_dense(c, lo))
+
+
 def query_matrix(index: SketchIndex, out: GzTextWriter,
                  batch: int = 10000) -> None:
     """All-vs-all: dense Jaccard matrix of the index against itself."""
     write_matrix_header(out, index.names)
+    if index.G and _matrix_selfjoin_mode(index):
+        _query_matrix_selfjoin(index, out)
+        return
     p = index.params
     mat = index.matrix()
     for lo in range(0, index.G, batch):

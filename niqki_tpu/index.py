@@ -618,7 +618,7 @@ class SketchIndex:
                 and (interp or bcount.available(p.F, p.W)):
             if self._device_planes is None:
                 self._device_planes = bcount.build_index_planes(
-                    self._stored(), p.W)
+                    self._stored(), p.W, sanitized=True)
             # sanitized=True contract: _query_side mapped everything outside
             # [0, 2^W) to -3, so q is within [-3, 2^W) — bcount skips its
             # range pass on that promise (debug-checked under

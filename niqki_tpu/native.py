@@ -149,9 +149,24 @@ def _load():
         ctypes.c_char_p,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ctypes.c_char_p, ctypes.c_int64]
+    lib.nq_format_matrix_sparse.restype = ctypes.c_int64
+    lib.nq_format_matrix_sparse.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+    lib.nq_format_matrix_dense.restype = ctypes.c_int64
+    lib.nq_format_matrix_dense.argtypes = [
+        np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
     lib.nq_abi_version.restype = ctypes.c_int64
     lib.nq_abi_version.argtypes = []
-    if lib.nq_abi_version() != 6:
+    if lib.nq_abi_version() != 7:
         return None
     _lib = lib
     return _lib
@@ -464,6 +479,59 @@ class HitsFormatter:
                                      hoff, out, cap)
         if n < 0:
             raise RuntimeError("nq_format_hits capacity underestimated")
+        return out.raw[:n]
+
+
+class MatrixFormatter:
+    """Formats dense all-vs-all matrix rows in C++ — byte-identical with
+    io.writers.write_matrix_row over full count rows (reference
+    /root/reference/src/niqki_index.cpp:747-763). Two input forms: sparse
+    (device-compacted top-k survivors; min_score >= 1) and dense ((B, G)
+    uint16 wrapped counts). Caches the index name blob across blocks."""
+
+    def __init__(self, names, F: int, min_score: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.F = F
+        self.min_score = min_score
+        blobs = [str(n).encode() for n in names]
+        self._names = b"".join(blobs)
+        self._name_off = np.zeros(len(blobs) + 1, np.int64)
+        np.cumsum([len(b) for b in blobs], out=self._name_off[1:])
+        self._max_name = max((len(b) for b in blobs), default=0)
+        self.G = len(blobs)
+
+    def format_sparse(self, vals: np.ndarray, idx: np.ndarray,
+                      row0: int) -> bytes:
+        vals = np.ascontiguousarray(vals, np.int32)
+        idx = np.ascontiguousarray(idx, np.int32)
+        B, cap = vals.shape
+        nsurv = int((vals >= self.min_score).sum())
+        out_cap = 2 * B * self.G + nsurv * 14 + B * (self._max_name + 4) + 64
+        out = ctypes.create_string_buffer(out_cap)
+        n = self._lib.nq_format_matrix_sparse(
+            vals, idx, B, cap, self.G, self.F, self.min_score,
+            self._names, self._name_off, row0, out, out_cap)
+        if n < 0:
+            raise RuntimeError(f"nq_format_matrix_sparse failed ({n}): "
+                               "capacity or survivor contract violated")
+        return out.raw[:n]
+
+    def format_dense(self, counts: np.ndarray, row0: int) -> bytes:
+        counts = np.ascontiguousarray(counts, np.uint16)
+        B, G = counts.shape
+        assert G == self.G
+        nnz = int(((counts >= max(self.min_score, 1))).sum())
+        out_cap = 2 * B * G + nnz * 14 + B * (self._max_name + 4) + 64
+        out = ctypes.create_string_buffer(out_cap)
+        n = self._lib.nq_format_matrix_dense(
+            counts, B, G, self.F, self.min_score,
+            self._names, self._name_off, row0, out, out_cap)
+        if n < 0:
+            raise RuntimeError("nq_format_matrix_dense capacity "
+                               "underestimated")
         return out.raw[:n]
 
 

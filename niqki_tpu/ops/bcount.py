@@ -151,13 +151,26 @@ def pad_rows(mat16: np.ndarray, tile: int = TILE_G) -> np.ndarray:
     return out
 
 
-def build_index_planes(mat: np.ndarray, W: int, row_chunk: int = 16384):
+def build_index_planes(mat: np.ndarray, W: int, row_chunk: int | None = None,
+                       sanitized: bool = False):
     """(G, F) host int matrix -> (W+1, Gp, F/32) uint32 device bit-planes.
 
     Rows are shipped and packed in chunks so peak HBM overhead stays at one
-    chunk of the unpacked int32 form.
-    """
+    chunk of the unpacked form. ``sanitized=True`` promises every value is
+    in [-2, 2^W) (index._stored() output); that makes an int16 narrowing
+    lossless for W <= 14, halving the raw h2d bytes (the tunnel transport
+    is raw-byte scan-bound when congested). Unsanitized input keeps its
+    dtype — an out-of-range value must reach pack_bitplanes' range check
+    un-aliased."""
     m = pad_rows(np.asarray(mat))
+    if row_chunk is None:
+        # Bound the unpacked on-device chunk (+ the pack's per-plane
+        # temps) by element count, not row count: 16384 rows at F=32768
+        # is a 2 GB int32 chunk whose pack graph blew HBM at compile time.
+        row_chunk = max(TILE_G, (1 << 26) // m.shape[1])
+    if sanitized and W <= 14 and m.dtype != np.int16:
+        from ..hostmem import big_copy
+        m = big_copy(m, np.int16)
     chunks = [pack_bitplanes(jnp.asarray(m[lo:lo + row_chunk]), W=W,
                              query=False)
               for lo in range(0, m.shape[0], row_chunk)]
@@ -317,6 +330,53 @@ def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
             outs.append(dispatch(dev))
     out = jnp.concatenate(outs, axis=0)
     return out[:Q, :G]
+
+
+# ---------------------------------------------------------------------------
+# all-vs-all self-join (matrix mode)
+
+MATRIX_BLOCK = 8 * BLOCK_Q   # index rows per self-join dispatch
+
+
+def _planes_as_queries(xp, lo: int, B: int):
+    """Slice B stored rows out of the index planes and re-encode them as
+    QUERY planes — the all-vs-all matrix needs zero query h2d because the
+    queries ARE the index. Stored-invalid slots have all-0 value planes +
+    sentinel 1; query-invalid needs all-1 value planes + sentinel 1, so
+    the conversion is value |= sentinel. Valid slots (sentinel 0) pass
+    through — the result is exactly pack_bitplanes(values, query=True) of
+    the same fingerprints."""
+    P = xp.shape[0]
+    qs = jax.lax.dynamic_slice(
+        xp, (0, lo, 0), (P, B, xp.shape[2]))
+    return jnp.concatenate([qs[:P - 1] | qs[P - 1:], qs[P - 1:]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "cap", "interpret"))
+def _self_join_topk(xp, lo, *, B: int, cap: int, interpret: bool = False):
+    """counts of index rows [lo, lo+B) against the whole index, wrapped to
+    the reference's uint16 matrix counters, then top-cap compacted per row
+    so only (count, gid) survivors cross the d2h wire. Returns (vals, idx)
+    each (B, cap) int32, count-descending."""
+    qp = _planes_as_queries(xp, lo, B)
+    outs = [_bcount_call(qp[:, o:o + BLOCK_Q], xp, interpret=interpret)
+            for o in range(0, B, BLOCK_Q)]
+    c = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0))
+    c = c & 0xFFFF   # reference uint16 counters (niqki_index.cpp:572)
+    vals, idx = jax.lax.top_k(c, cap)
+    return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("B", "interpret"))
+def _self_join_dense(xp, lo, *, B: int, interpret: bool = False):
+    """Dense variant: (B, Gp) uint16 wrapped counts (min_score == 0 rows
+    print every cell, so there is nothing to compact — uint16 halves the
+    d2h bytes and IS the reference's counter width)."""
+    qp = _planes_as_queries(xp, lo, B)
+    outs = [_bcount_call(qp[:, o:o + BLOCK_Q], xp, interpret=interpret)
+            for o in range(0, B, BLOCK_Q)]
+    c = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0))
+    return (c & 0xFFFF).astype(jnp.uint16)
 
 
 def match_counts_bitplane(q_sk, g_sk, W: int,
