@@ -86,14 +86,24 @@ def _synth_clustered_file(n: int, length: int, clusters: int,
     return path
 
 
-def bench_ingest_e2e(n: int, length: int):
-    """VERDICT item 7: a REAL n-genome ingest through the production
-    pipeline (gzip -> native parse/pack -> device sketch -> densify ->
-    index), then sharded dump + reload, then real genome queries against
-    the built index — no jax.random sketches anywhere."""
+def bench_ingest_e2e(n: int, length: int, s15: bool = False):
+    """VERDICT item 7 (+ r2 item 4): a REAL n-genome ingest through the
+    production pipeline (gzip -> native parse/pack -> device sketch ->
+    densify -> index), then sharded dump + reload, then real genome queries
+    against the built index — no jax.random sketches anywhere.
+
+    s15=True runs the reference's GOLDEN configuration (S=15, F=32768): the
+    100k-genome matrix is 13 GB of host int32, the checkpoint 13 GB on
+    disk, and the device planes 5.3 GB of HBM — the sizes every headline
+    claim must survive."""
     from niqki_tpu import SketchIndex, SketchParams
     path = _synth_genomes_file(n, length)
-    p = SketchParams(lF=12, min_fract=0.05)   # F=4096: 100k rows = 1.6 GB
+    if s15:
+        p = SketchParams(min_fract=0.05)      # defaults: F=32768
+        tag = f"G{n}_s15"
+    else:
+        p = SketchParams(lF=12, min_fract=0.05)  # F=4096: 100k rows=1.6 GB
+        tag = f"G{n}"
     idx = SketchIndex(p)
     # small warm-up file for compile (separate shapes stay warm in cache)
     idx_w = SketchIndex(p)
@@ -102,7 +112,7 @@ def bench_ingest_e2e(n: int, length: int):
     idx.insert_file_lines(path)
     dt = time.time() - t0
     gps = idx.G / dt
-    print(json.dumps({"metric": f"ingest_genomes_per_s_G{n}",
+    print(json.dumps({"metric": f"ingest_genomes_per_s_{tag}",
                       "value": round(gps, 1), "unit": "genomes/s",
                       "mbp_per_s": round(idx.G * length / dt / 1e6, 1),
                       "wall_s": round(dt, 1)}))
@@ -115,19 +125,19 @@ def bench_ingest_e2e(n: int, length: int):
         idx2 = SketchIndex.load_sharded(ck)
         dt = time.time() - t0
         assert idx2.G == n
-        print(json.dumps({"metric": f"sharded_ckpt_roundtrip_s_G{n}",
+        print(json.dumps({"metric": f"sharded_ckpt_roundtrip_s_{tag}",
                           "value": round(dt, 2), "unit": "s"}))
 
-    # real-genome queries against the really-built index (pcount route)
+    # real-genome queries against the really-built index (device kernels)
     paths = [f"/root/reference/resources/ecoli0{i}p.fa.gz"
              for i in range(1, 10)]
-    idx.counts(np.stack(idx2.sketch_files(paths)))  # warm compile
+    idx.counts(np.stack(idx2.sketch_files(paths)))  # warm compile + planes
     t0 = time.time()
     sks = np.stack(idx.sketch_files(list(reversed(paths))))
     counts = idx.counts(sks)
     hits = [idx.hits_from_counts(c) for c in counts]
     dt = time.time() - t0
-    print(json.dumps({"metric": f"e2e_real_query_per_s_G{n}",
+    print(json.dumps({"metric": f"e2e_real_query_per_s_{tag}",
                       "value": round(9 / dt, 2), "unit": "queries/s",
                       "hits_total": int(sum(len(h) for h in hits))}))
 
@@ -179,6 +189,10 @@ def main():
     ap.add_argument("--ingest-len", type=int, default=10_000)
     ap.add_argument("--matrix-genomes", type=int, default=10_240,
                     help="all-vs-all matrix size (0 skips the section)")
+    ap.add_argument("--s15", action="store_true", default=True,
+                    help="also run the ingest/ckpt/query section at the "
+                         "reference's golden S=15 (F=32768) sizes")
+    ap.add_argument("--no-s15", dest="s15", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -357,6 +371,8 @@ def main():
     # --- real 100k-genome end-to-end (build-side scale) -------------------
     if args.ingest_genomes:
         bench_ingest_e2e(args.ingest_genomes, args.ingest_len)
+        if args.s15:
+            bench_ingest_e2e(args.ingest_genomes, args.ingest_len, s15=True)
     return 0
 
 
