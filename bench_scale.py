@@ -180,6 +180,43 @@ def bench_matrix(n: int, length: int):
                       "cells_per_s": round(n * n / dt / 1e6, 1)}))
 
 
+def bench_restart(n: int, length: int, s15: bool = False):
+    """VERDICT r2 item 5: serving restart-to-first-query at G=100k.
+    Compares the mesh-direct v3 path (ShardedIndex.from_checkpoint:
+    persisted planes device_put straight to their 'tp' owner, no host
+    matrix) against the legacy restart (load_sharded -> counts() builds
+    planes from rows). Checkpoints are built once and cached."""
+    from niqki_tpu import SketchIndex, SketchParams
+    from niqki_tpu.parallel.serving import ShardedIndex
+    p = SketchParams(min_fract=0.05) if s15 else \
+        SketchParams(lF=12, min_fract=0.05)
+    tag = f"G{n}_s15" if s15 else f"G{n}"
+    cache = os.path.expanduser("~/.cache/niqki_tpu")
+    ck = os.path.join(cache, f"ckpt_{n}_{'s15' if s15 else 'lf12'}.v1")
+    if not os.path.exists(os.path.join(ck, "manifest.json")):
+        log(f"building cached checkpoint {ck}...")
+        idx = SketchIndex(p)
+        idx.insert_file_lines(_synth_genomes_file(n, length))
+        idx.save_sharded(ck, num_shards=8, compress=False, planes=True)
+
+    rng = np.random.default_rng(4)
+    q = rng.integers(0, p.fingerprint_range, p.F).astype(np.int32)
+
+    t0 = time.time()
+    srv = ShardedIndex.from_checkpoint(ck)
+    h1 = srv.hits(q)
+    v3_s = time.time() - t0
+
+    t0 = time.time()
+    idx2 = SketchIndex.load_sharded(ck)
+    h2 = idx2.hits(q)
+    legacy_s = time.time() - t0
+    assert h1 == h2
+    print(json.dumps({"metric": f"restart_to_first_query_s_{tag}",
+                      "value": round(v3_s, 2), "unit": "s",
+                      "legacy_restart_s": round(legacy_s, 2)}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--genomes", type=int, default=100_000)
@@ -371,8 +408,10 @@ def main():
     # --- real 100k-genome end-to-end (build-side scale) -------------------
     if args.ingest_genomes:
         bench_ingest_e2e(args.ingest_genomes, args.ingest_len)
+        bench_restart(args.ingest_genomes, args.ingest_len)
         if args.s15:
             bench_ingest_e2e(args.ingest_genomes, args.ingest_len, s15=True)
+            bench_restart(args.ingest_genomes, args.ingest_len, s15=True)
     return 0
 
 

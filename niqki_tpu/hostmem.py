@@ -138,31 +138,36 @@ def _readinto_exact(f, mv) -> None:
         got += r
 
 
-def read_direct(path: str, arr: np.ndarray) -> None:
-    """Fill ``arr`` (C-contiguous) from ``path``'s bytes, O_DIRECT for the
-    aligned bulk. ``arr`` must be exactly the file's size; raises OSError
-    when the file is shorter (e.g. a checkpoint shard truncated by a
-    crash)."""
+def read_direct(path: str, arr: np.ndarray, offset: int = 0) -> None:
+    """Fill ``arr`` (C-contiguous) from ``path``'s bytes starting at
+    ``offset``, O_DIRECT for the aligned bulk. The file must hold at least
+    offset + arr.nbytes; raises OSError when shorter (e.g. a checkpoint
+    shard truncated by a crash). A ranged read (offset > 0) lets the
+    mesh-direct checkpoint loader pull one device's row range out of a
+    shard file without touching the rest."""
     if not arr.flags.c_contiguous:
         raise ValueError("read_direct needs a C-contiguous destination")
     b = arr.reshape(-1).view(np.uint8)
     n = b.nbytes
     bulk = (n // _ALIGN) * _ALIGN
     fd = -1
-    if bulk and _is_aligned(b) and hasattr(os, "O_DIRECT"):
+    if bulk and _is_aligned(b) and offset % _ALIGN == 0 \
+            and hasattr(os, "O_DIRECT"):
         try:
             fd = os.open(path, os.O_RDONLY | os.O_DIRECT)
         except OSError:
             fd = -1
     if fd < 0:
         with open(path, "rb") as f:
+            f.seek(offset)
             _readinto_exact(f, memoryview(b))
         return
     try:
         mv = memoryview(b)
         got = 0
         while got < bulk:
-            r = os.readv(fd, [mv[got:min(got + _CHUNK, bulk)]])
+            r = os.preadv(fd, [mv[got:min(got + _CHUNK, bulk)]],
+                          offset + got)
             if r <= 0:
                 raise OSError("short O_DIRECT read")
             got += r
@@ -171,10 +176,11 @@ def read_direct(path: str, arr: np.ndarray) -> None:
         # buffered from scratch (which itself raises if the file is short).
         os.close(fd)
         with open(path, "rb") as f:
+            f.seek(offset)
             _readinto_exact(f, memoryview(b))
         return
     os.close(fd)
     if n > bulk:
         with open(path, "rb") as f:
-            f.seek(bulk)
+            f.seek(offset + bulk)
             _readinto_exact(f, memoryview(b[bulk:]))

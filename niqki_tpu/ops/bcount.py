@@ -332,6 +332,39 @@ def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
     return out[:Q, :G]
 
 
+def np_pack_bitplanes(mat: np.ndarray, W: int,
+                      out: np.ndarray | None = None,
+                      row_chunk: int = 2048) -> np.ndarray:
+    """Host (numpy) twin of pack_bitplanes(query=False) — bit-identical
+    (tested), used by checkpoint v3 to persist packed planes and by the
+    mesh-direct loader to assemble per-device planes without a device
+    round trip. Chunked so temporaries stay ~row_chunk*F."""
+    m = np.asarray(mat)
+    N, F = m.shape
+    L = F // 32
+    assert F % 32 == 0
+    if out is None:
+        out = np.empty((W + 1, N, L), np.uint32)
+
+    def pack_bits(b):
+        c = b
+        w = 1
+        while w < 32:
+            c = c[:, 0::2] | (c[:, 1::2] << np.uint32(w))
+            w *= 2
+        return c
+
+    for lo in range(0, N, row_chunk):
+        blk = m[lo:lo + row_chunk].astype(np.int32, copy=False)
+        valid = (blk >= 0) & (blk < (1 << W))
+        v = np.where(valid, blk, 0).astype(np.uint32)
+        for p in range(W):
+            out[p, lo:lo + row_chunk] = pack_bits((v >> np.uint32(p))
+                                                  & np.uint32(1))
+        out[W, lo:lo + row_chunk] = pack_bits((~valid).astype(np.uint32))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # all-vs-all self-join (matrix mode)
 
