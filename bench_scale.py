@@ -180,6 +180,50 @@ def bench_matrix(n: int, length: int):
                       "cells_per_s": round(n * n / dt / 1e6, 1)}))
 
 
+def bench_skewed_query(n: int, length: int, queries: int = 288):
+    """VERDICT r2 item 7: e2e query rate when every query returns a whole
+    CLUSTER of real hits (~n/100 genomes), so the hit-extraction argsort
+    and the native pretty formatter are on the hot path — uniform-random
+    workloads return near-zero hits and never stress them."""
+    from niqki_tpu import SketchIndex, SketchParams, native
+    path = _synth_clustered_file(n, length, clusters=100)
+    p = SketchParams(lF=12, min_fract=0.05)
+    idx = SketchIndex(p)
+    idx.insert_file_lines(path)
+    assert idx.G == n
+    mat = idx.matrix()
+    step = max(1, n // queries)
+    qsel = np.ascontiguousarray(mat[::step][:queries])
+    headers = [f"q{i}" for i in range(queries)]
+
+    def run(q):
+        # the production pretty path (engine.query_fof_whole): sparse
+        # device top-k, only survivors cross d2h
+        t0 = time.time()
+        buf = idx.pretty_hits_batch(q, headers)
+        assert buf is not None
+        return time.time() - t0, buf
+
+    # warm with different genomes (the transport memoizes identical
+    # (kernel, input) pairs); the timed rep uses the real query sketches
+    run(np.ascontiguousarray(mat[1::step][:queries]))
+    dt, buf = run(qsel)
+    nhits = buf.count(b":")
+    # dense-path comparison (the pre-sparse production path)
+    fmt = native.HitsFormatter(idx.names, p.F, p.min_score)
+    t0 = time.time()
+    counts = idx.counts(np.ascontiguousarray(mat[2::step][:queries]))
+    fmt.format(counts, headers)
+    dense_dt = time.time() - t0
+    print(json.dumps({"metric": f"e2e_query_per_s_G{n}_skewed",
+                      "value": round(len(qsel) / dt, 1),
+                      "unit": "queries/s",
+                      "hits_total": nhits,
+                      "hits_per_query": round(nhits / len(qsel), 1),
+                      "dense_path_qps": round(len(qsel) / dense_dt, 1),
+                      "formatted_mb": round(len(buf) / 1e6, 1)}))
+
+
 def bench_restart(n: int, length: int, s15: bool = False):
     """VERDICT r2 item 5: serving restart-to-first-query at G=100k.
     Compares the mesh-direct v3 path (ShardedIndex.from_checkpoint:
@@ -408,6 +452,7 @@ def main():
     # --- real 100k-genome end-to-end (build-side scale) -------------------
     if args.ingest_genomes:
         bench_ingest_e2e(args.ingest_genomes, args.ingest_len)
+        bench_skewed_query(args.ingest_genomes, args.ingest_len)
         bench_restart(args.ingest_genomes, args.ingest_len)
         if args.s15:
             bench_ingest_e2e(args.ingest_genomes, args.ingest_len, s15=True)

@@ -1118,6 +1118,62 @@ int64_t nq_format_hits(const int32_t* counts, int64_t B, int64_t G,
   return w - out;
 }
 
+// Sparse twin of nq_format_hits: per row, `cap` device-compacted
+// (val, gid) candidates (top-k output, any order); entries with
+// val < min_score are ignored. Byte-identical with the dense formatter
+// whenever the row's full survivor set fits in cap (the caller re-fetches
+// overflowing rows dense). Same (count desc, gid desc) hit ordering as
+// the reference scan (/root/reference/src/niqki_index.cpp:633-687).
+int64_t nq_format_hits_sparse(const int32_t* vals, const int32_t* idx,
+                              int64_t B, int64_t cap, int64_t G,
+                              int64_t min_score, int64_t F,
+                              const char* names, const int64_t* name_off,
+                              const char* headers, const int64_t* header_off,
+                              char* out, int64_t out_cap) {
+  std::vector<std::string> jac((size_t)F + 1);
+  std::vector<bool> jac_set((size_t)F + 1, false);
+  std::vector<std::pair<int32_t, int32_t>> hits;
+  char* w = out;
+  char* end = out + out_cap;
+  for (int64_t b = 0; b < B; ++b) {
+    const int32_t* v = vals + b * cap;
+    const int32_t* g = idx + b * cap;
+    hits.clear();
+    for (int64_t k = 0; k < cap; ++k)
+      if (v[k] >= min_score) {
+        if (v[k] > F || g[k] < 0 || g[k] >= G) return -1;
+        hits.emplace_back(v[k], g[k]);
+      }
+    std::sort(hits.begin(), hits.end(),
+              std::greater<std::pair<int32_t, int32_t>>());
+    const int64_t hlen = header_off[b + 1] - header_off[b];
+    if (end - w < hlen + 2) return -1;
+    std::memcpy(w, headers + header_off[b], (size_t)hlen);
+    w += hlen;
+    *w++ = ' ';
+    for (const auto& h : hits) {
+      const int32_t c = h.first, gg = h.second;
+      if (!jac_set[(size_t)c]) {
+        char buf[32];
+        int n = std::snprintf(buf, sizeof buf, "%.6g", (double)c / (double)F);
+        jac[(size_t)c].assign(buf, (size_t)n);
+        jac_set[(size_t)c] = true;
+      }
+      const std::string& js = jac[(size_t)c];
+      const int64_t nlen = name_off[gg + 1] - name_off[gg];
+      if (end - w < nlen + (int64_t)js.size() + 3) return -1;
+      std::memcpy(w, names + name_off[gg], (size_t)nlen);
+      w += nlen;
+      *w++ = ':';
+      std::memcpy(w, js.data(), js.size());
+      w += js.size();
+      *w++ = ' ';
+    }
+    *w++ = '\n';
+  }
+  return w - out;
+}
+
 // Scans a NIQKI dump's bucket stream (the uint32 words after the 24-byte
 // header): per bucket a size word followed by that many gid words. Fills
 // sizes[n_buckets] and returns the total gid count, or -1 if the stream is
@@ -1308,6 +1364,6 @@ int64_t nq_format_matrix_dense(const uint16_t* counts, int64_t B, int64_t G,
 }
 
 // Version tag so the Python wrapper can detect ABI drift.
-int64_t nq_abi_version() { return 7; }
+int64_t nq_abi_version() { return 8; }
 
 }  // extern "C"

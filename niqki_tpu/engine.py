@@ -59,6 +59,13 @@ def query_fof_whole(index: SketchIndex, fof_path: str, out: GzTextWriter,
     for lo in range(0, len(lines), batch):
         chunk = lines[lo:lo + batch]
         sks = index.sketch_files(chunk)
+        if pretty and sks:
+            # sparse device path: fused pack+count+top-k ships only
+            # surviving (count, gid) pairs (None -> not eligible)
+            buf = index.pretty_hits_batch(np.stack(sks), chunk)
+            if buf is not None:
+                out.write(buf)
+                continue
         counts = index.counts(np.stack(sks)) if sks else []
         for name, c in zip(chunk, counts):
             hits = index.hits_from_counts(c)

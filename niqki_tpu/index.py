@@ -78,6 +78,7 @@ class SketchIndex:
         self._device_packed = None           # cached pair-packed device copy
         self._device_planes = None           # cached bit-plane device copy
         self._sharded = None                 # cached multi-chip ShardedIndex
+        self._hits_fmt = None                # cached native HitsFormatter
         self._stored_host = None             # cached host count-side matrix
 
     # ------------------------------------------------------------------
@@ -644,6 +645,73 @@ class SketchIndex:
         res = match_counts_blocked(
             jnp.asarray(q.astype(self._device_dtype)), self._device_matrix())
         return np.asarray(res)
+
+    def pretty_hits_batch(self, q_sketches: np.ndarray,
+                          headers: list[str]) -> bytes | None:
+        """Formatted pretty-hit rows for a query batch through the SPARSE
+        device path: fused pack+count+top-k per block, so only surviving
+        (count, gid) pairs cross the ~15 MB/s d2h instead of a dense
+        (Q, G) int32 block (115 MB per 288 queries at G=100k — measured
+        62 vs 300+ q/s on hit-dense workloads). Byte-identical with
+        HitsFormatter.format(counts(q), headers): rows whose survivor set
+        overflows the top-k cap (NIQKI_TPU_HITS_CAP, default 2048) are
+        re-fetched dense. Returns None when the sparse path is not
+        eligible (small G, no native lib, min_score == 0, non-bcount
+        route, or an active mesh) — callers fall back to dense counts."""
+        from . import native
+        p = self.params
+        if (self.backend == "numpy" or not native.available()
+                or p.min_score < 1 or self.G < 4096
+                or p.F % 4096 != 0 or not (1 <= p.W <= 30)):
+            return None
+        mode = os.environ.get("NIQKI_TPU_COUNT", "auto")
+        if mode not in ("auto", "bcount", "bcount-interpret"):
+            return None
+        spec = os.environ.get("NIQKI_TPU_MESH", "auto").strip().lower()
+        mesh_possible = spec not in ("off", "none", "0", "1", "1x1") and \
+            not (spec in ("auto", "")
+                 and "axon" in os.environ.get("JAX_PLATFORMS", ""))
+        if mesh_possible:
+            from .parallel.auto import active_mesh
+            if active_mesh() is not None:
+                return None   # sparse-under-mesh: dense path serves it
+        from .ops import bcount
+        interp = mode == "bcount-interpret"
+        if not interp and not bcount.available(p.F, p.W):
+            return None
+        raw = np.atleast_2d(np.asarray(q_sketches, np.int32))
+        assert len(raw) == len(headers)
+        q = self._query_side(raw)
+        if self._device_planes is None:
+            self._device_planes = bcount.build_index_planes(
+                self._stored(), p.W, sanitized=True)
+        cap = min(self.G,
+                  int(os.environ.get("NIQKI_TPU_HITS_CAP", "2048")))
+        vals, idx = bcount.match_counts_planes(
+            q, self._device_planes, self.G, p.W, interpret=interp,
+            sanitized=True, topk=cap)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        if self._hits_fmt is None or self._hits_fmt.G != self.G:
+            self._hits_fmt = native.HitsFormatter(self.names, p.F,
+                                                  p.min_score)
+        fmt = self._hits_fmt
+        over = (vals[:, -1] >= p.min_score) if cap < self.G else \
+            np.zeros(len(vals), bool)
+        if not over.any():
+            return fmt.format_sparse(vals, idx, headers)
+        dense_rows = np.nonzero(over)[0]
+        dense = np.asarray(bcount.match_counts_planes(
+            q[dense_rows], self._device_planes, self.G, p.W,
+            interpret=interp, sanitized=True))
+        parts, di = [], 0
+        for r in range(len(q)):
+            if over[r]:
+                parts.append(fmt.format(dense[di:di + 1], [headers[r]]))
+                di += 1
+            else:
+                parts.append(fmt.format_sparse(vals[r:r + 1], idx[r:r + 1],
+                                               [headers[r]]))
+        return b"".join(parts)
 
     def query_counts_stream(self, rec_iter, chunk_records: int = 1 << 15):
         """Yield (records_chunk, (n, G) counts) pairs from a packed-record

@@ -164,9 +164,19 @@ def _load():
         ctypes.c_char_p,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+    lib.nq_format_hits_sparse.restype = ctypes.c_int64
+    lib.nq_format_hits_sparse.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_char_p, ctypes.c_int64]
     lib.nq_abi_version.restype = ctypes.c_int64
     lib.nq_abi_version.argtypes = []
-    if lib.nq_abi_version() != 7:
+    if lib.nq_abi_version() != 8:
         return None
     _lib = lib
     return _lib
@@ -462,6 +472,7 @@ class HitsFormatter:
         self._name_off = np.zeros(len(blobs) + 1, np.int64)
         np.cumsum([len(b) for b in blobs], out=self._name_off[1:])
         self._max_name = max((len(b) for b in blobs), default=0)
+        self.G = len(blobs)
 
     def format(self, counts: np.ndarray, headers: list[str]) -> bytes:
         counts = np.ascontiguousarray(counts, np.int32)
@@ -479,6 +490,31 @@ class HitsFormatter:
                                      hoff, out, cap)
         if n < 0:
             raise RuntimeError("nq_format_hits capacity underestimated")
+        return out.raw[:n]
+
+    def format_sparse(self, vals: np.ndarray, idx: np.ndarray,
+                      headers: list[str]) -> bytes:
+        """Rows from device-compacted top-k (vals, idx) (B, cap) —
+        byte-identical with format() whenever each row's full survivor set
+        fits in cap (callers re-fetch overflowing rows dense)."""
+        vals = np.ascontiguousarray(vals, np.int32)
+        idx = np.ascontiguousarray(idx, np.int32)
+        B, kcap = vals.shape
+        assert B == len(headers)
+        hb = [h.encode() for h in headers]
+        hblob = b"".join(hb)
+        hoff = np.zeros(B + 1, np.int64)
+        np.cumsum([len(b) for b in hb], out=hoff[1:])
+        nhits = int((vals >= self.min_score).sum())
+        cap = len(hblob) + 2 * B + nhits * (self._max_name + 16) + 64
+        out = ctypes.create_string_buffer(cap)
+        G = len(self._name_off) - 1
+        n = self._lib.nq_format_hits_sparse(
+            vals, idx, B, kcap, G, self.min_score, self.F,
+            self._names, self._name_off, hblob, hoff, out, cap)
+        if n < 0:
+            raise RuntimeError("nq_format_hits_sparse failed: capacity or "
+                               "survivor contract violated")
         return out.raw[:n]
 
 

@@ -238,9 +238,24 @@ def _split_wire_block(blk: np.ndarray) -> np.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("B", "W", "cap", "interpret"))
+def _pack_count_topk_split(wirebuf, xp, *, B: int, W: int, cap: int,
+                           interpret: bool = False):
+    c = _pack_count_call_split(wirebuf, xp, B=B, W=W, interpret=interpret)
+    return jax.lax.top_k(c, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "cap", "interpret"))
+def _pack_count_topk(qblk, xp, *, W: int, cap: int,
+                     interpret: bool = False):
+    c = _pack_count_call(qblk, xp, W=W, interpret=interpret)
+    return jax.lax.top_k(c, cap)
+
+
 def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
                         interpret: bool = False,
-                        sanitized: bool = False) -> jnp.ndarray:
+                        sanitized: bool = False,
+                        topk: int | None = None):
     """counts (Q, G) int32 of host queries q_np (Q, F) against pre-packed
     device bit-planes xp (W+1, Gp, F/32).
 
@@ -265,7 +280,14 @@ def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
     ``sanitized=True`` promises every value is already in [-3, 2^W)
     (index._query_side output) and skips the range pass — the sanitize
     would otherwise materialize extra (Q, F) temporaries of fresh
-    first-touch pages (the hostmem pathology)."""
+    first-touch pages (the hostmem pathology).
+
+    ``topk=cap`` fuses a per-row jax.lax.top_k(cap) into each dispatch and
+    returns (vals, idx) (Q, cap) int32 instead of dense counts: only
+    surviving hit candidates cross the ~15 MB/s d2h — the dense (Q, G)
+    int32 block at G=100k is 115 MB and dominates hit-dense query walls
+    (measured: 62 -> 300+ q/s e2e with 1000 hits/query). Rows with >= cap
+    survivors must be re-fetched dense by the caller (vals[:, -1] tells)."""
     dt = np.int16 if W <= 14 else np.int32
     q = np.asarray(q_np)
     if q.dtype not in (np.int16, np.int32, np.int64):
@@ -301,6 +323,9 @@ def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
             return jax.device_put(_split_wire_block(q[lo_:lo_ + BLOCK_Q]))
 
         def dispatch(dev):
+            if topk is not None:
+                return _pack_count_topk_split(dev, xp, B=BLOCK_Q, W=W,
+                                              cap=topk, interpret=interpret)
             return _pack_count_call_split(dev, xp, B=BLOCK_Q, W=W,
                                           interpret=interpret)
     else:
@@ -308,11 +333,21 @@ def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
             return jax.device_put(q[lo_:lo_ + BLOCK_Q])
 
         def dispatch(dev):
+            if topk is not None:
+                return _pack_count_topk(dev, xp, W=W, cap=topk,
+                                        interpret=interpret)
             return _pack_count_call(dev, xp, W=W, interpret=interpret)
 
-    if len(blocks) == 1:
-        out = dispatch(ship(0))
+    def finish(outs):
+        if topk is not None:
+            vals = jnp.concatenate([o[0] for o in outs], axis=0)
+            idx = jnp.concatenate([o[1] for o in outs], axis=0)
+            return vals[:Q], idx[:Q]
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         return out[:Q, :G]
+
+    if len(blocks) == 1:
+        return finish([dispatch(ship(0))])
     # Pipelined: ship block i+1 while block i's kernel runs. On the remote
     # transport this hides all but the LAST block's kernel behind the wire
     # (measured 487 -> 650 q/s at Q=288, G=100k); on local backends the
@@ -328,8 +363,7 @@ def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
             if i + 2 < len(blocks):
                 futs.append(shipper.submit(ship, blocks[i + 2]))
             outs.append(dispatch(dev))
-    out = jnp.concatenate(outs, axis=0)
-    return out[:Q, :G]
+    return finish(outs)
 
 
 def np_pack_bitplanes(mat: np.ndarray, W: int,
