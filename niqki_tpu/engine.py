@@ -134,6 +134,14 @@ def _matrix_selfjoin_mode(index: SketchIndex) -> bool:
     if mode == "dense":
         return False
     p = index.params
+    spec = os.environ.get("NIQKI_TPU_MESH", "auto").strip().lower()
+    mesh_possible = spec not in ("off", "none", "0", "1", "1x1") and \
+        not (spec in ("auto", "")
+             and "axon" in os.environ.get("JAX_PLATFORMS", ""))
+    if mesh_possible and mode != "selfjoin":
+        from .parallel.auto import active_mesh
+        if active_mesh() is not None:
+            return False   # mesh counts route serves the matrix instead
     ok = (index.backend != "numpy" and native.available()
           and p.F % 4096 == 0 and 1 <= p.W <= 30)
     if mode == "selfjoin":

@@ -191,7 +191,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--mesh", default=None, metavar="DxT",
+                    help="run OUR side on a virtual DxT CPU mesh (forces "
+                         "JAX_PLATFORMS=cpu with D*T host devices and "
+                         "NIQKI_TPU_MESH) so the randomized differential "
+                         "exercises the sharded product path")
     args = ap.parse_args()
+    if args.mesh:
+        dp, tp = map(int, args.mesh.lower().split("x"))
+        # same dance as tests/conftest.py: the container's sitecustomize
+        # imports jax (axon backend) before us, so the env var alone is too
+        # late — jax.config still wins before the first device lookup
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={dp * tp}").strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["NIQKI_TPU_MESH"] = args.mesh
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        assert len(jax.devices()) == dp * tp, jax.devices()
     base = pathlib.Path(tempfile.mkdtemp(prefix="niqki_soak_"))
     exe = compile_reference(base)
     ok = hangs = 0
