@@ -109,11 +109,19 @@ def query_file_lines(index: SketchIndex, path: str, out: GzTextWriter,
     if pretty and native.available():
         fmt = native.HitsFormatter(index.names, index.params.F,
                                    index.params.min_score)
-    for part, counts in index.query_counts_stream(
+    for part, q in index.query_sketch_stream(
             index._iter_packed_with_headers(path), batch):
-        if fmt is not None:
-            out.write(fmt.format(counts, [r[0] for r in part]))
+        headers = [r[0] for r in part]
+        if fmt is not None and len(q):
+            # sparse top-k device path when eligible: survivors-only d2h
+            # instead of the dense (n, G) counts block (the wall at big G)
+            buf = index.pretty_hits_batch(q, headers)
+            if buf is None:
+                buf = fmt.format(index.counts(q), headers)
+            out.write(buf)
             continue
+        counts = index.counts(q) if len(q) else \
+            np.zeros((0, index.G), np.int32)
         all_hits = hits_from_counts_batch(counts, index.params.min_score)
         for r, hits in zip(part, all_hits):
             if pretty:

@@ -689,7 +689,7 @@ class SketchIndex:
                   int(os.environ.get("NIQKI_TPU_HITS_CAP", "2048")))
         vals, idx = bcount.match_counts_planes(
             q, self._device_planes, self.G, p.W, interpret=interp,
-            sanitized=True, topk=cap)
+            sanitized=True, topk=cap, min_score=p.min_score)
         vals, idx = np.asarray(vals), np.asarray(idx)
         if self._hits_fmt is None or self._hits_fmt.G != self.G:
             self._hits_fmt = native.HitsFormatter(self.names, p.F,
@@ -699,6 +699,16 @@ class SketchIndex:
             np.zeros(len(vals), bool)
         if not over.any():
             return fmt.format_sparse(vals, idx, headers)
+        if over.mean() > 0.25:
+            # Hit-saturated batch (e.g. short queries at tiny J, where most
+            # of the index clears the threshold): per-row re-fetches would
+            # cost more than one dense pass — take the dense path for the
+            # whole batch, bounding the sparse path's worst case at ~1.3x
+            # the legacy path (the discarded top-k).
+            dense = np.asarray(bcount.match_counts_planes(
+                q, self._device_planes, self.G, p.W,
+                interpret=interp, sanitized=True))
+            return fmt.format(dense, headers)
         dense_rows = np.nonzero(over)[0]
         dense = np.asarray(bcount.match_counts_planes(
             q[dense_rows], self._device_planes, self.G, p.W,
@@ -713,12 +723,12 @@ class SketchIndex:
                                                [headers[r]]))
         return b"".join(parts)
 
-    def query_counts_stream(self, rec_iter, chunk_records: int = 1 << 15):
-        """Yield (records_chunk, (n, G) counts) pairs from a packed-record
-        stream, one batched count call per chunk, bounded memory."""
+    def query_sketch_stream(self, rec_iter, chunk_records: int = 1 << 15):
+        """Yield (records_chunk, stacked (n, F) int32 sketches) pairs from
+        a packed-record stream, bounded memory."""
         for part, sks in self._sketch_stream(rec_iter, chunk_records):
             if not sks:
-                yield part, np.zeros((0, self.G), np.int32)
+                yield part, np.zeros((0, self.params.F), np.int32)
                 continue
             # Stack into a hugepage-backed buffer: np.stack of a 32k-read
             # chunk first-touches ~134 MB of fresh pages (~6-22 MB/s on
@@ -726,7 +736,14 @@ class SketchIndex:
             q = hostmem.big_empty((len(sks), self.params.F), np.int32)
             for i, s in enumerate(sks):
                 q[i] = s
-            yield part, self.counts(q)
+            yield part, q
+
+    def query_counts_stream(self, rec_iter, chunk_records: int = 1 << 15):
+        """Yield (records_chunk, (n, G) counts) pairs from a packed-record
+        stream, one batched count call per chunk, bounded memory."""
+        for part, q in self.query_sketch_stream(rec_iter, chunk_records):
+            yield part, (self.counts(q) if len(q)
+                         else np.zeros((0, self.G), np.int32))
 
     def hits_from_counts(self, c: np.ndarray) -> list[tuple[int, int]]:
         return hits_from_counts(c, self.params.min_score)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import gzip
 import struct
+import zlib
 
 
 def format_double(v: float) -> str:
@@ -23,24 +24,77 @@ def format_double(v: float) -> str:
 
 
 class GzTextWriter:
-    """Buffered gzip text writer (the engine's answer to zstr::ofstream)."""
+    """Buffered gzip text writer (the engine's answer to zstr::ofstream).
 
-    def __init__(self, path: str):
+    The output is a MULTI-MEMBER gzip stream: text accumulates into fixed
+    4 MiB blocks, each deflated as an independent gzip member on a small
+    thread pool (zlib releases the GIL) and written strictly in order.
+    Decompressed bytes are identical to a single-member stream — every
+    parity comparison (goldens, fuzz, soak) is on decompressed bytes —
+    and standard tooling (zcat, Python gzip) reads multi-member streams
+    transparently. Level 6 = zlib's default, what the reference's
+    zstr::ofstream uses. The deflate of GB-scale matrix/hit text was
+    single-thread-bound (~50 MB/s); this overlaps it across cores and
+    with formatting. Output bytes stay deterministic: member boundaries
+    are fixed at exactly BLOCK input bytes regardless of write() call
+    granularity.
+    """
+
+    BLOCK = 4 << 20
+
+    def __init__(self, path: str, level: int = 6, threads: int | None = None):
+        import os
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
         self.path = path
-        # Level 6 = zlib's default, what the reference's zstr::ofstream
-        # uses (Python gzip defaults to 9, ~3x slower for the same parity:
-        # every golden/fuzz comparison is on DECOMPRESSED bytes).
-        self._f = gzip.open(path, "wb", compresslevel=6)
+        self._level = level
+        self._f = open(path, "wb")
+        self._buf: list[bytes] = []
+        self._size = 0
+        self._members = 0
+        self._pool = ThreadPoolExecutor(
+            max_workers=threads or min(8, os.cpu_count() or 1))
+        self._futs = deque()
+
+    @staticmethod
+    def _member(data: bytes, level: int) -> bytes:
+        co = zlib.compressobj(level, zlib.DEFLATED, 31)  # 31 = gzip wrapper
+        return co.compress(data) + co.flush()
+
+    def _drain(self, all_: bool = False) -> None:
+        while self._futs and (all_ or len(self._futs) > 16
+                              or self._futs[0].done()):
+            self._f.write(self._futs.popleft().result())
+
+    def _submit(self, blk: bytes) -> None:
+        self._futs.append(self._pool.submit(self._member, blk, self._level))
+        self._members += 1
+        self._drain()
 
     def write(self, s: str | bytes) -> None:
         if isinstance(s, str):
             s = s.encode()
-        self._f.write(s)
+        self._buf.append(s)
+        self._size += len(s)
+        if self._size >= self.BLOCK:
+            data = b"".join(self._buf)
+            while len(data) >= self.BLOCK:
+                self._submit(data[:self.BLOCK])
+                data = data[self.BLOCK:]
+            self._buf = [data] if data else []
+            self._size = len(data)
 
     def close(self) -> None:
-        if self._f is not None:
-            self._f.close()
-            self._f = None
+        if self._f is None:
+            return
+        tail = b"".join(self._buf)
+        self._buf = []
+        if tail or self._members == 0:   # empty file still gets one member
+            self._submit(tail)
+        self._drain(all_=True)
+        self._pool.shutdown()
+        self._f.close()
+        self._f = None
 
     def __enter__(self):
         return self

@@ -238,24 +238,35 @@ def _split_wire_block(blk: np.ndarray) -> np.ndarray:
     return out
 
 
+def _mask_topk(vals, idx, min_score):
+    """Zero out sub-threshold top-k entries ON DEVICE: the (B, cap) d2h
+    arrays become mostly zeros for sparse-hit rows, which the tunnel
+    transport's stream compressor eats (raw random sub-threshold counts
+    would ship at the incompressible rate). (0, gid 0) pairs are ignored
+    by every consumer (min_score >= 1 on this path)."""
+    keep = vals >= min_score
+    return jnp.where(keep, vals, 0), jnp.where(keep, idx, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "W", "cap", "interpret"))
-def _pack_count_topk_split(wirebuf, xp, *, B: int, W: int, cap: int,
-                           interpret: bool = False):
+def _pack_count_topk_split(wirebuf, xp, min_score, *, B: int, W: int,
+                           cap: int, interpret: bool = False):
     c = _pack_count_call_split(wirebuf, xp, B=B, W=W, interpret=interpret)
-    return jax.lax.top_k(c, cap)
+    return _mask_topk(*jax.lax.top_k(c, cap), min_score)
 
 
 @functools.partial(jax.jit, static_argnames=("W", "cap", "interpret"))
-def _pack_count_topk(qblk, xp, *, W: int, cap: int,
+def _pack_count_topk(qblk, xp, min_score, *, W: int, cap: int,
                      interpret: bool = False):
     c = _pack_count_call(qblk, xp, W=W, interpret=interpret)
-    return jax.lax.top_k(c, cap)
+    return _mask_topk(*jax.lax.top_k(c, cap), min_score)
 
 
 def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
                         interpret: bool = False,
                         sanitized: bool = False,
-                        topk: int | None = None):
+                        topk: int | None = None,
+                        min_score: int = 1):
     """counts (Q, G) int32 of host queries q_np (Q, F) against pre-packed
     device bit-planes xp (W+1, Gp, F/32).
 
@@ -324,8 +335,9 @@ def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
 
         def dispatch(dev):
             if topk is not None:
-                return _pack_count_topk_split(dev, xp, B=BLOCK_Q, W=W,
-                                              cap=topk, interpret=interpret)
+                return _pack_count_topk_split(dev, xp, min_score,
+                                              B=BLOCK_Q, W=W, cap=topk,
+                                              interpret=interpret)
             return _pack_count_call_split(dev, xp, B=BLOCK_Q, W=W,
                                           interpret=interpret)
     else:
@@ -334,7 +346,7 @@ def match_counts_planes(q_np: np.ndarray, xp, G: int, W: int,
 
         def dispatch(dev):
             if topk is not None:
-                return _pack_count_topk(dev, xp, W=W, cap=topk,
+                return _pack_count_topk(dev, xp, min_score, W=W, cap=topk,
                                         interpret=interpret)
             return _pack_count_call(dev, xp, W=W, interpret=interpret)
 
