@@ -725,6 +725,15 @@ void nq_densify(int32_t* sketch, int64_t F) {
   // start. min_idx updates commit at pass end (an in-pass copy never earns
   // an earlier probe within its own pass — its probe from the new slot
   // targets that same slot). No sorting, no hashing in the loop.
+  //
+  // Perf note (measured 2026-08, sparse F=32768 sketches — the S=15
+  // short-record regime): total probe iterations are ~300k regardless of
+  // fill fraction (fills/pass ~ ents*empty/F makes passes x ents roughly
+  // constant), and three vectorized variants all LOST or tied — AVX-512
+  // i64gather from the sketch (L2-bound), gather from a 4 KB empty-slot
+  // bitmap, and a scalar SoA incremental-probe loop. The cost is
+  // branch-miss + stamp[] traffic on the hit path, not the probe math;
+  // this scalar loop stands.
   // Thread-local scratch (densify runs once per record in the batch
   // pipelines): a monotonic tick makes stale stamps harmless, so the
   // buffers are never cleared between calls.
