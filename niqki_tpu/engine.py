@@ -194,31 +194,55 @@ def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> None:
     def dispatch(i):
         lo, start, off, n = starts[i]
         if sparse:
-            return bcount._self_join_topk(xp, start, B=B, cap=cap,
-                                          interpret=interp)
+            return bcount._self_join_topk(xp, start, p.min_score, B=B,
+                                          cap=cap, interpret=interp)
         return bcount._self_join_dense(xp, start, B=B, interpret=interp)
 
-    # Dispatch-ahead-by-2: block i+1/i+2's kernels run while block i's
-    # survivors cross d2h and format on the host.
-    pending = [dispatch(i) for i in range(min(2, len(starts)))]
-    for i, (lo, start, off, n) in enumerate(starts):
-        res = pending.pop(0)
-        if i + 2 < len(starts):
-            pending.append(dispatch(i + 2))
+    def fetch(res):
+        # The d2h is the blocking point (np.asarray), not the kernel —
+        # materialize in a background thread so block i+1's transfer rides
+        # the wire while block i formats/writes on the host.
         if sparse:
-            vals, idx = (np.asarray(res[0]), np.asarray(res[1]))
-            vals, idx = vals[off:off + n], idx[off:off + n]
-            if cap < Gp and (vals[:, -1] >= p.min_score).any():
-                # >= cap survivors in some row: re-fetch the block dense
-                # (correct for any survivor density, just more d2h)
-                c = np.asarray(bcount._self_join_dense(
-                    xp, start, B=B, interpret=interp))[off:off + n, :G]
-                out.write(fmt.format_dense(c, lo))
-            else:
-                out.write(fmt.format_sparse(vals, idx, lo))
-        else:
-            c = np.asarray(res)[off:off + n, :G]
+            return np.asarray(res[0]), np.asarray(res[1])
+        return np.asarray(res)
+
+    # Dispatch-ahead-by-2 with threaded d2h: block i+1/i+2's kernels AND
+    # block i+1's device->host transfer run while block i's survivors
+    # format on the host (measured: the unoverlapped d2h was the matrix
+    # wall — tools/matrix_probe.py).
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(1) as fetcher:
+        pending = [fetcher.submit(fetch, dispatch(i))
+                   for i in range(min(2, len(starts)))]
+        for i, (lo, start, off, n) in enumerate(starts):
+            res = pending.pop(0).result()
+            if i + 2 < len(starts):
+                pending.append(fetcher.submit(fetch, dispatch(i + 2)))
+            _emit_selfjoin_block(index, out, fmt, res, sparse, xp, starts[i],
+                                 cap, interp)
+
+
+def _emit_selfjoin_block(index, out, fmt, res, sparse, xp, blk, cap, interp):
+    import numpy as np
+    from .ops import bcount
+    p = index.params
+    G, Gp = index.G, xp.shape[1]
+    B = min(bcount.MATRIX_BLOCK, Gp)
+    lo, start, off, n = blk
+    if sparse:
+        vals, idx = res
+        vals, idx = vals[off:off + n], idx[off:off + n]
+        if cap < Gp and (vals[:, -1] >= p.min_score).any():
+            # >= cap survivors in some row: re-fetch the block dense
+            # (correct for any survivor density, just more d2h)
+            c = np.asarray(bcount._self_join_dense(
+                xp, start, B=B, interpret=interp))[off:off + n, :G]
             out.write(fmt.format_dense(c, lo))
+        else:
+            out.write(fmt.format_sparse(vals, idx, lo))
+    else:
+        c = res[off:off + n, :G]
+        out.write(fmt.format_dense(c, lo))
 
 
 def query_matrix(index: SketchIndex, out: GzTextWriter,

@@ -432,18 +432,23 @@ def _planes_as_queries(xp, lo: int, B: int):
 
 
 @functools.partial(jax.jit, static_argnames=("B", "cap", "interpret"))
-def _self_join_topk(xp, lo, *, B: int, cap: int, interpret: bool = False):
+def _self_join_topk(xp, lo, min_score, *, B: int, cap: int,
+                    interpret: bool = False):
     """counts of index rows [lo, lo+B) against the whole index, wrapped to
     the reference's uint16 matrix counters, then top-cap compacted per row
     so only (count, gid) survivors cross the d2h wire. Returns (vals, idx)
-    each (B, cap) int32, count-descending."""
+    each (B, cap) int32, count-descending, with sub-min_score entries
+    masked to (0, 0) ON DEVICE — unmasked top-k idx entries are random
+    gids, i.e. incompressible bytes on the tunnel's ~15 MB/s d2h, and the
+    d2h (not the kernel, not the top_k) is the self-join's measured wall
+    (tools/matrix_probe.py: kern 47 ms/block, +top_k free, +unmasked d2h
+    236 ms/block at G=10240)."""
     qp = _planes_as_queries(xp, lo, B)
     outs = [_bcount_call(qp[:, o:o + BLOCK_Q], xp, interpret=interpret)
             for o in range(0, B, BLOCK_Q)]
     c = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0))
     c = c & 0xFFFF   # reference uint16 counters (niqki_index.cpp:572)
-    vals, idx = jax.lax.top_k(c, cap)
-    return vals, idx
+    return _mask_topk(*jax.lax.top_k(c, cap), min_score)
 
 
 @functools.partial(jax.jit, static_argnames=("B", "interpret"))
