@@ -76,12 +76,14 @@ def main():
         log("warmup (jit compile)...")
         t, _ = run_once(warm)
         log(f"warmup run: {t:.2f}s")
-        # Best-of-3, every run parity-checked: the transport adds
-        # multi-second outliers on bad nights that are not the engine's
-        # steady state (each run re-reads, re-sketches and re-counts —
-        # nothing is memoized across runs on the host side).
-        t = float("inf")
-        for rep in range(3):
+        # Best-of-5 with the full spread reported, every run parity-checked:
+        # the transport adds multi-second outliers on bad nights that are
+        # not the engine's steady state (each run re-reads, re-sketches and
+        # re-counts — nothing is memoized across runs on the host side), and
+        # a sub-0.1 s workload needs the spread visible so round-over-round
+        # numbers don't read transport weather as regressions.
+        reps = []
+        for rep in range(5):
             t1, idx = run_once(out)
             log(f"timed run {rep}: {t1:.2f}s")
             with gzip.open(out) as f, gzip.open(GOLDEN) as g:
@@ -92,17 +94,22 @@ def main():
                                   "value": 0.0, "unit": "s",
                                   "vs_baseline": 0.0}))
                 return 1
-            t = min(t, t1)
+            reps.append(t1)
+        t = min(reps)
         log("output matches reference golden: True (all reps)")
         if not kernel_parity_gate(idx):
             print(json.dumps({"metric": "pallas_count_PARITY_FAIL",
                               "value": 0.0, "unit": "s", "vs_baseline": 0.0}))
             return 1
+    med = sorted(reps)[len(reps) // 2]
     print(json.dumps({
         "metric": "ecoli9_allvsall_matrix_s15_wall",
         "value": round(t, 4),
         "unit": "s",
         "vs_baseline": round(REFERENCE_INTERNAL_S / t, 2),
+        "median_s": round(med, 4),
+        "vs_baseline_median": round(REFERENCE_INTERNAL_S / med, 2),
+        "reps_s": [round(x, 4) for x in reps],
     }))
     return 0
 

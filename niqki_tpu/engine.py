@@ -219,15 +219,16 @@ def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> None:
             if i + 2 < len(starts):
                 pending.append(fetcher.submit(fetch, dispatch(i + 2)))
             _emit_selfjoin_block(index, out, fmt, res, sparse, xp, starts[i],
-                                 cap, interp)
+                                 cap, interp, B=B, G=G, Gp=Gp)
 
 
-def _emit_selfjoin_block(index, out, fmt, res, sparse, xp, blk, cap, interp):
+def _emit_selfjoin_block(index, out, fmt, res, sparse, xp, blk, cap, interp,
+                         *, B, G, Gp):
+    # B/G/Gp come from the dispatching caller (not recomputed): a dense
+    # re-fetch must use the exact block sizing the sparse pass used.
     import numpy as np
     from .ops import bcount
     p = index.params
-    G, Gp = index.G, xp.shape[1]
-    B = min(bcount.MATRIX_BLOCK, Gp)
     lo, start, off, n = blk
     if sparse:
         vals, idx = res

@@ -50,19 +50,26 @@ def hits_from_counts_batch(counts: np.ndarray, min_score: int
                            ) -> list[list[tuple[int, int]]]:
     """hits_from_counts over a whole (B, G) block with ONE argsort: the
     per-row numpy-call overhead dominates read-scale query formatting.
-    Composite key = count * G + gid, so descending key order is exactly
-    count desc then gid desc; sub-threshold entries key to -1."""
+    Composite key = -(count * G + gid), so ASCENDING key order is exactly
+    count desc then gid desc; sub-threshold entries key to +1 (after every
+    survivor). The key buffer is hugepage-backed and computed in place: at
+    the dense fallback's G=100k/B=2048 the np.where + negation temps were
+    ~3.2 GB of exactly the first-touch allocation pattern hostmem.py
+    documents as pathological; the sorted-column gids ARE the gids, so no
+    take_along_axis pass is needed either."""
     c = np.asarray(counts)
     B, G = c.shape
     if G == 0:
         return [[] for _ in range(B)]
-    gid = np.arange(G, dtype=np.int64)
-    keys = np.where(c >= min_score, c.astype(np.int64) * G + gid,
-                    np.int64(-1))
-    order = np.argsort(-keys, axis=1, kind="stable")
-    skeys = np.take_along_axis(keys, order, axis=1)
-    nhits = (skeys >= 0).sum(axis=1)
-    return [[(int(k // G), int(k % G)) for k in skeys[b, :nhits[b]]]
+    from . import hostmem
+    keys = hostmem.big_empty((B, G), np.int64)
+    keys[:] = c            # widen to int64 first: count*G overflows int32
+    keys *= -G
+    keys -= np.arange(G, dtype=np.int64)[None, :]
+    keys[c < min_score] = 1
+    order = np.argsort(keys, axis=1, kind="stable")
+    nhits = (c >= min_score).sum(axis=1)
+    return [[(int(c[b, g]), int(g)) for g in order[b, :nhits[b]]]
             for b in range(B)]
 
 
@@ -769,7 +776,8 @@ class SketchIndex:
         return idx
 
     # ------------------------------------------------------------------
-    # persistence: native sharded checkpoint (one npz per genome range)
+    # persistence: native sharded checkpoint (raw row blocks per genome
+    # range; only the legacy v1 format was npz)
     def save_sharded(self, directory: str, num_shards: int = 1,
                      compress: bool = True, planes: bool = False) -> None:
         """Sharded checkpoint: raw little-endian int32 row blocks plus a

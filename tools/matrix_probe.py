@@ -90,11 +90,14 @@ def main():
         "dense": lambda xp: np.asarray(
             bcount._self_join_dense(xp, 0, B=B)),
     }
-    for name, fn in variants.items():
+    for vi, (name, fn) in enumerate(variants.items()):
         fn(xp0)  # warm compile
         best = float("inf")
         for r in range(args.reps):
-            xpr = fresh(r * 17 + hash(name) % 13)
+            # deterministic per-variant constant (Python's str hash is
+            # randomized per process, which made timings vs the memoizing
+            # transport irreproducible across probe runs)
+            xpr = fresh(r * 17 + vi)
             t0 = time.time()
             fn(xpr)
             best = min(best, time.time() - t0)
