@@ -86,6 +86,112 @@ def _synth_clustered_file(n: int, length: int, clusters: int,
     return path
 
 
+def _mutant_query_fof(q: int, div: float = 0.01) -> str:
+    """A cached fof of q DISTINCT whole-genome query files: the 9 bundled
+    E. coli genomes (~4.64 Mbp) each expanded into q/9 point-mutated
+    variants (iid rate `div`), one gzip FASTA per file — the reference's
+    own hits-query workload (re-sketch every query file) at Q >= 288 scale.
+    Every file's content is unique, so neither the host page cache nor the
+    transport's (kernel, input) memoization can fake the timing."""
+    import gzip
+    cache = os.path.expanduser("~/.cache/niqki_tpu")
+    d = os.path.join(cache, f"ecoli_mut{q}.v1")
+    fof = os.path.join(d, "fof.txt")
+    if os.path.exists(fof):
+        return fof
+    from niqki_tpu.io.fasta import read_records
+    seqs = []
+    for i in range(1, 10):
+        for _, s in read_records(
+                f"/root/reference/resources/ecoli0{i}p.fa.gz", 31):
+            seqs.append(np.frombuffer(s, np.uint8).copy())
+    alphabet = np.frombuffer(b"ACGT", np.uint8)
+    os.makedirs(d, exist_ok=True)
+    log(f"generating {q} mutant query genomes in {d}...")
+    t0 = time.time()
+
+    def gen(i: int) -> str:
+        rng = np.random.default_rng(1000 + i)
+        base = seqs[i % len(seqs)]
+        m = rng.random(len(base)) < div
+        seq = np.where(m, rng.choice(alphabet, len(base)), base)
+        path = os.path.join(d, f"mut{i:04d}.fa.gz")
+        with gzip.open(path + ".tmp", "wb", compresslevel=1) as f:
+            f.write(b">mut%d\n" % i)
+            f.write(seq.tobytes())
+            f.write(b"\n")
+        os.rename(path + ".tmp", path)
+        return path
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=os.cpu_count() or 1) as ex:
+        paths = list(ex.map(gen, range(q)))
+    with open(fof + ".tmp", "w") as f:
+        f.write("\n".join(paths) + "\n")
+    os.rename(fof + ".tmp", fof)
+    log(f"generated in {time.time()-t0:.0f}s")
+    return fof
+
+
+def bench_real_query(idx, tag: str, queries: int = 288):
+    """THE north-star metric (VERDICT r3 item 1): e2e whole-genome query
+    rate against a 100k-genome index through the PRODUCTION path
+    (engine.query_fof_whole -> pipelined sketch_files + pretty_hits_batch
+    sparse top-k), at Q >= 288 real files so fixed overheads amortize.
+    Reports the component split (sketch-only, count-only) alongside —
+    the e2e wall should approach max(sketch, count), not their sum."""
+    from niqki_tpu import engine
+    from niqki_tpu.io.writers import GzTextWriter
+    p = idx.params
+    fof = _mutant_query_fof(queries)
+    with open(fof) as f:
+        paths = [ln.strip() for ln in f if ln.strip()]
+
+    # warm the top-k compile with synthetic sketches (fresh wire bytes)
+    rng = np.random.default_rng(9)
+    warm_q = rng.integers(0, p.fingerprint_range,
+                          (queries, p.F)).astype(np.int32)
+    idx.pretty_hits_batch(warm_q, [f"w{i}" for i in range(queries)])
+
+    # component: sketch-only (host route; no transport memoization risk)
+    t0 = time.time()
+    sks = idx.sketch_files(paths)
+    sketch_dt = time.time() - t0
+
+    # component: count-only through the sparse path, on XOR-perturbed
+    # sketches (the REAL sketches must first cross the wire in the timed
+    # e2e pass below, or the transport would replay them memoized)
+    qpert = np.stack(sks).astype(np.int32) ^ 1
+    qpert = np.where((qpert < 0) | (qpert >= p.fingerprint_range), -3, qpert)
+    t0 = time.time()
+    buf = idx.pretty_hits_batch(qpert, [f"p{i}" for i in range(len(qpert))])
+    count_dt = time.time() - t0
+    assert buf is not None
+
+    out_path = os.path.join(tempfile.gettempdir(), "realq.gz")
+    t0 = time.time()
+    with GzTextWriter(out_path) as out:
+        engine.query_fof_whole(idx, fof, out)
+    dt = time.time() - t0
+    nhits = 0
+    import gzip
+    with gzip.open(out_path, "rb") as f:
+        body = f.read()
+        nhits = body.count(b":")
+        nrows = body.count(b"\n")
+    os.unlink(out_path)
+    assert nrows == queries, (nrows, queries)
+    print(json.dumps({"metric": f"e2e_real_query_per_s_{tag}",
+                      "value": round(queries / dt, 1), "unit": "queries/s",
+                      "queries": queries, "wall_s": round(dt, 2),
+                      "sketch_only_s": round(sketch_dt, 2),
+                      "count_only_s": round(count_dt, 2),
+                      "sketch_only_qps": round(queries / sketch_dt, 1),
+                      "count_only_qps": round(queries / count_dt, 1),
+                      "vs_baseline_64core": round(queries / dt / 350.0, 2),
+                      "hits_total": nhits}))
+
+
 def bench_ingest_e2e(n: int, length: int, s15: bool = False):
     """VERDICT item 7 (+ r2 item 4): a REAL n-genome ingest through the
     production pipeline (gzip -> native parse/pack -> device sketch ->
@@ -122,24 +228,31 @@ def bench_ingest_e2e(n: int, length: int, s15: bool = False):
         ck = os.path.join(td, "ckpt")
         t0 = time.time()
         idx.save_sharded(ck, num_shards=8, compress=False)
+        save_s = time.time() - t0
+        t0 = time.time()
         idx2 = SketchIndex.load_sharded(ck)
-        dt = time.time() - t0
+        load_s = time.time() - t0
         assert idx2.G == n
         print(json.dumps({"metric": f"sharded_ckpt_roundtrip_s_{tag}",
-                          "value": round(dt, 2), "unit": "s"}))
+                          "value": round(save_s + load_s, 2), "unit": "s",
+                          "save_s": round(save_s, 2),
+                          "load_s": round(load_s, 2)}))
+        if s15:
+            # v3 (planes=True) save: the plane pack now runs per shard on
+            # the save pool, overlapped with the O_DIRECT writes
+            t0 = time.time()
+            idx.save_sharded(os.path.join(td, "ckpt3"), num_shards=8,
+                             compress=False, planes=True)
+            print(json.dumps({"metric": f"ckpt_save_planes_s_{tag}",
+                              "value": round(time.time() - t0, 2),
+                              "unit": "s"}))
 
-    # real-genome queries against the really-built index (device kernels)
-    paths = [f"/root/reference/resources/ecoli0{i}p.fa.gz"
-             for i in range(1, 10)]
-    idx.counts(np.stack(idx2.sketch_files(paths)))  # warm compile + planes
-    t0 = time.time()
-    sks = np.stack(idx.sketch_files(list(reversed(paths))))
-    counts = idx.counts(sks)
-    hits = [idx.hits_from_counts(c) for c in counts]
-    dt = time.time() - t0
-    print(json.dumps({"metric": f"e2e_real_query_per_s_{tag}",
-                      "value": round(9 / dt, 2), "unit": "queries/s",
-                      "hits_total": int(sum(len(h) for h in hits))}))
+    # real whole-genome queries against the really-built index, through
+    # the PRODUCTION path at Q=288 (engine.query_fof_whole: pipelined
+    # sketch_files + pretty_hits_batch sparse top-k) — the Q=9 dense-count
+    # version of this measurement read 9.2 q/s purely from fixed overheads
+    # (VERDICT r3 weak #1)
+    bench_real_query(idx, tag)
 
 
 def bench_matrix(n: int, length: int):

@@ -125,6 +125,7 @@ def save_dump(path: str, p: SketchParams, sketches: np.ndarray, names) -> None:
     Bucket-internal gid order is ascending, which equals the reference's
     insertion order under its deterministic (single-thread) id assignment.
     """
+    from . import hostmem
     G, F = sketches.shape if sketches.size else (0, p.F)
     fr = p.fingerprint_range
     n_buckets = p.F * fr
@@ -141,16 +142,28 @@ def save_dump(path: str, p: SketchParams, sketches: np.ndarray, names) -> None:
         keys, gids = keys[ok], gids[ok]
         order = np.argsort(keys, kind="stable")
         keys, gids = keys[order], gids[order]
-        counts = np.bincount(keys, minlength=n_buckets).astype("<u4")
-        out_words = np.zeros(n_buckets + len(gids), dtype="<u4")
-        starts = np.zeros(n_buckets, dtype=np.int64)
-        np.cumsum(counts[:-1].astype(np.int64), out=starts[1:])
-        out_words[starts + np.arange(n_buckets, dtype=np.int64)] = counts
+        # Touch ONLY the nonempty buckets: the stream has 2^(S+W) size
+        # words (2^30 at S=18 W=12 — a 4.3 GB buffer), but at most G*F of
+        # them are nonzero. big_zeros pages stay untouched (shared zero
+        # page) everywhere the scatter doesn't reach; the old dense
+        # bincount + full-starts scatter first-touched every page of
+        # THREE such buffers (the hostmem pathology).
+        out_words = hostmem.big_zeros(n_buckets + len(gids), "<u4")
+        uniq, cnt = np.unique(keys, return_counts=True)  # keys are sorted
+        gid_before = np.zeros(len(uniq), np.int64)
+        np.cumsum(cnt[:-1], out=gid_before[1:])
+        out_words[uniq + gid_before] = cnt.astype("<u4")
         out_words[np.arange(len(gids), dtype=np.int64) + keys + 1] = gids
     else:
-        out_words = np.zeros(n_buckets, dtype="<u4")
+        out_words = hostmem.big_zeros(n_buckets, "<u4")
     name_blob = "".join(str(n) + "\n" for n in names).encode()
-    with gzip.open(path, "wb") as f:
+    # level 1: parity is on DECOMPRESSED bytes everywhere (tests, the
+    # reference's loader); level 9 on an S=18 stream (4.3 GB, mostly
+    # zero words) costs minutes for nothing.
+    with gzip.open(path, "wb", compresslevel=1) as f:
         f.write(header)
-        f.write(out_words.tobytes())
+        mv = memoryview(out_words).cast("B")
+        chunk = 64 << 20     # bounded gzip input chunks (a 4.3 GB tobytes
+        for lo in range(0, len(mv), chunk):  # copy would double peak RSS)
+            f.write(mv[lo:lo + chunk])
         f.write(name_blob)

@@ -48,25 +48,39 @@ def insert_file_lines(index: SketchIndex, path: str) -> None:
     index.insert_file_lines(path)
 
 
+def _stack_sketches(sks) -> np.ndarray:
+    """np.stack into a hugepage-backed destination: a 256-query S=15 chunk
+    is ~33 MB of fresh first-touch pages on the plain-allocation path
+    (niqki_tpu/hostmem.py pathology)."""
+    from . import hostmem
+    q = hostmem.big_empty((len(sks), len(sks[0])), np.int32)
+    for i, s in enumerate(sks):
+        q[i] = s
+    return q
+
+
 def query_fof_whole(index: SketchIndex, fof_path: str, out: GzTextWriter,
-                    pretty: bool = True, batch: int = 1024) -> None:
+                    pretty: bool = True, batch: int = 256) -> None:
     """-Q: each fof entry (resolved from CWD) is sketched whole and queried.
 
-    Sketching is pipelined and hit counting batched (one device round-trip
-    per ``batch`` queries); output rows stream in fof order.
+    PIPELINED: chunk i+1's sketching (host thread pool / device batches)
+    overlaps chunk i's hit counting (device kernel + wire) and output
+    formatting — the two phases consume disjoint resources, so the e2e
+    wall approaches max(sketch, count) instead of their sum. Output rows
+    stream in fof order.
     """
     lines = [ln for ln in read_query_fof(fof_path) if exists(ln)]
-    for lo in range(0, len(lines), batch):
-        chunk = lines[lo:lo + batch]
-        sks = index.sketch_files(chunk)
+    chunks = [lines[lo:lo + batch] for lo in range(0, len(lines), batch)]
+
+    def process(chunk, sks):
         if pretty and sks:
             # sparse device path: fused pack+count+top-k ships only
             # surviving (count, gid) pairs (None -> not eligible)
-            buf = index.pretty_hits_batch(np.stack(sks), chunk)
+            buf = index.pretty_hits_batch(_stack_sketches(sks), chunk)
             if buf is not None:
                 out.write(buf)
-                continue
-        counts = index.counts(np.stack(sks)) if sks else []
+                return
+        counts = index.counts(_stack_sketches(sks)) if sks else []
         for name, c in zip(chunk, counts):
             hits = index.hits_from_counts(c)
             if pretty:
@@ -74,6 +88,15 @@ def query_fof_whole(index: SketchIndex, fof_path: str, out: GzTextWriter,
                                   index.params.F)
             else:
                 write_binary_hits(out, name, hits)
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(1) as pre:
+        fut = pre.submit(index.sketch_files, chunks[0]) if chunks else None
+        for i, chunk in enumerate(chunks):
+            sks = fut.result()
+            fut = pre.submit(index.sketch_files, chunks[i + 1]) \
+                if i + 1 < len(chunks) else None
+            process(chunk, sks)
 
 
 def query_file_lines(index: SketchIndex, path: str, out: GzTextWriter,
@@ -142,14 +165,6 @@ def _matrix_selfjoin_mode(index: SketchIndex) -> bool:
     if mode == "dense":
         return False
     p = index.params
-    spec = os.environ.get("NIQKI_TPU_MESH", "auto").strip().lower()
-    mesh_possible = spec not in ("off", "none", "0", "1", "1x1") and \
-        not (spec in ("auto", "")
-             and "axon" in os.environ.get("JAX_PLATFORMS", ""))
-    if mesh_possible and mode != "selfjoin":
-        from .parallel.auto import active_mesh
-        if active_mesh() is not None:
-            return False   # mesh counts route serves the matrix instead
     ok = (index.backend != "numpy" and native.available()
           and p.F % 4096 == 0 and 1 <= p.W <= 30)
     if mode == "selfjoin":
@@ -161,7 +176,67 @@ def _matrix_selfjoin_mode(index: SketchIndex) -> bool:
     return ok and index.G >= 2048
 
 
-def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> None:
+def _active_mesh_or_none():
+    """active_mesh() guarded by the cheap env pre-check (importing/initing
+    the backend just to learn 'no mesh' measured 60+ s on the tunnel)."""
+    spec = os.environ.get("NIQKI_TPU_MESH", "auto").strip().lower()
+    mesh_possible = spec not in ("off", "none", "0", "1", "1x1") and \
+        not (spec in ("auto", "")
+             and "axon" in os.environ.get("JAX_PLATFORMS", ""))
+    if not mesh_possible:
+        return None
+    from .parallel.auto import active_mesh
+    return active_mesh()
+
+
+def _query_matrix_selfjoin_mesh(index: SketchIndex, out: GzTextWriter,
+                                mesh) -> bool:
+    """All-vs-all under an active mesh: each block of B global rows is
+    sliced out of the tp-sharded planes ON DEVICE (masked gather + psum —
+    zero query h2d), counted per shard, uint16-wrapped, and per-shard
+    top-k compacted with global gids (parallel.sharded.sharded_selfjoin);
+    only survivors cross d2h, exactly like the single-device self-join.
+    Returns False when the mesh index doesn't route the planes kernel
+    (callers fall back to the dense loop)."""
+    import numpy as np
+    from . import native
+    from .ops import bcount
+    p = index.params
+    if index._sharded is None or index._sharded.G != index.G \
+            or index._sharded.mesh is not mesh:
+        from .parallel.serving import ShardedIndex
+        index._sharded = ShardedIndex(index, mesh)
+    sharded = index._sharded
+    if sharded._kernel != "planes":
+        return False
+    G, Gp = index.G, sharded._Gp
+    B = min(bcount.MATRIX_BLOCK, Gp)
+    cap = min(Gp, int(os.environ.get("NIQKI_TPU_MATRIX_CAP", "1024")))
+    sparse = p.min_score > 0
+    fmt = native.MatrixFormatter(index.names, p.F, p.min_score)
+    for lo in range(0, G, B):
+        start = max(0, min(lo, Gp - B))
+        off, n = lo - start, min(B - (lo - start), G - lo)
+        if not sparse:
+            c = sharded.selfjoin_block(start, B, None, 0)
+            out.write(fmt.format_dense(c[off:off + n, :G], lo))
+            continue
+        vals, gids, shard_cap = sharded.selfjoin_block(start, B, cap,
+                                                       p.min_score)
+        vals, gids = vals[off:off + n], gids[off:off + n]
+        tp = vals.shape[1] // shard_cap
+        if shard_cap < Gp // tp and \
+                (vals.reshape(n, tp, shard_cap)[:, :, -1]
+                 >= p.min_score).any():
+            # some shard's row hit its cap: re-fetch the block dense
+            c = sharded.selfjoin_block(start, B, None, 0)
+            out.write(fmt.format_dense(c[off:off + n, :G], lo))
+        else:
+            out.write(fmt.format_sparse(vals, gids, lo))
+    return True
+
+
+def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> bool:
     """All-vs-all with ZERO query h2d: the queries are the index, already
     resident as bit-planes, so each block is a device-side slice->requery
     conversion + count + uint16 wrap + top-k compaction; only surviving
@@ -169,12 +244,17 @@ def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> None:
     when min_score == 0 (every cell prints). Rows format natively
     (nq_format_matrix_*). Byte-identical with the legacy path (tested
     against the golden fixtures); replaces the reference's bucket sweep +
-    row writer (/root/reference/src/niqki_index.cpp:570-610,747-763)."""
+    row writer (/root/reference/src/niqki_index.cpp:570-610,747-763).
+    Under an active mesh the block kernel is the tp-sharded self-join.
+    Returns False when ineligible (callers take the dense loop)."""
     import jax
     import numpy as np
     from . import native
     from .ops import bcount
     p = index.params
+    mesh = _active_mesh_or_none()
+    if mesh is not None:
+        return _query_matrix_selfjoin_mesh(index, out, mesh)
     interp = jax.devices()[0].platform != "tpu"
     if index._device_planes is None:
         index._device_planes = bcount.build_index_planes(
@@ -220,6 +300,7 @@ def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> None:
                 pending.append(fetcher.submit(fetch, dispatch(i + 2)))
             _emit_selfjoin_block(index, out, fmt, res, sparse, xp, starts[i],
                                  cap, interp, B=B, G=G, Gp=Gp)
+    return True
 
 
 def _emit_selfjoin_block(index, out, fmt, res, sparse, xp, blk, cap, interp,
@@ -250,8 +331,8 @@ def query_matrix(index: SketchIndex, out: GzTextWriter,
                  batch: int = 10000) -> None:
     """All-vs-all: dense Jaccard matrix of the index against itself."""
     write_matrix_header(out, index.names)
-    if index.G and _matrix_selfjoin_mode(index):
-        _query_matrix_selfjoin(index, out)
+    if index.G and _matrix_selfjoin_mode(index) \
+            and _query_matrix_selfjoin(index, out):
         return
     p = index.params
     mat = index.matrix()

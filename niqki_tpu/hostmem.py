@@ -74,6 +74,27 @@ def big_empty(shape, dtype) -> np.ndarray:
     return arr
 
 
+def big_zeros(shape, dtype) -> np.ndarray:
+    """``np.zeros`` for large arrays. The mmap behind ``big_empty`` is
+    anonymous and therefore already zero-filled; sparse writers (e.g. the
+    2^(S+W)-bucket dump stream at S=18) rely on untouched pages staying
+    zero WITHOUT being faulted in up front, so prefaulting is skipped —
+    read faults map the shared zero page cheaply."""
+    shape = (shape,) if isinstance(shape, int) else tuple(shape)
+    dt = np.dtype(dtype)
+    n = int(np.prod(shape, dtype=np.int64)) * dt.itemsize if shape \
+        else dt.itemsize
+    if n < (2 << 20) or _libc is None:
+        return np.zeros(shape, dt)
+    try:
+        buf = mmap.mmap(-1, n)
+    except (OSError, OverflowError, ValueError):
+        return np.zeros(shape, dt)
+    addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+    _libc.madvise(ctypes.c_void_p(addr), ctypes.c_size_t(n), _MADV_HUGEPAGE)
+    return np.frombuffer(buf, dt, count=n // dt.itemsize).reshape(shape)
+
+
 def big_copy(arr: np.ndarray, dtype=None) -> np.ndarray:
     """``arr.astype(dtype)`` / ``arr.copy()`` into a hugepage-backed
     destination (``astype`` would first-touch a fresh buffer slowly)."""

@@ -390,7 +390,10 @@ def np_pack_bitplanes(mat: np.ndarray, W: int,
     L = F // 32
     assert F % 32 == 0
     if out is None:
-        out = np.empty((W + 1, N, L), np.uint32)
+        # hugepage-backed: a 100k-row S=15 plane pack is 1.7 GB of fresh
+        # first-touch pages on the plain np.empty path (hostmem pathology)
+        from ..hostmem import big_empty
+        out = big_empty((W + 1, N, L), np.uint32)
 
     def pack_bits(b):
         c = b

@@ -29,7 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..index import SketchIndex
 from .mesh import make_mesh, default_mesh_shape
 from .sharded import (sharded_count, sharded_count_packed,
-                      sharded_count_planes)
+                      sharded_count_planes, sharded_count_planes_topk,
+                      sharded_selfjoin)
 
 
 def init_distributed(coordinator: str | None = None,
@@ -59,6 +60,7 @@ class ShardedIndex:
         self.G = index.G
         self._tp = mesh.shape["tp"]
         self._dp = mesh.shape["dp"]
+        self._fns: dict = {}     # compiled sparse-path fns by (kind, shape)
         p = self.params
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
@@ -169,6 +171,7 @@ class ShardedIndex:
         self.G = G
         self._tp = mesh.shape["tp"]
         self._dp = mesh.shape["dp"]
+        self._fns = {}
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self._interpret = interpret
@@ -229,6 +232,59 @@ class ShardedIndex:
             bcount.pack_bitplanes, static_argnames=("W", "query"),
             out_shardings=NamedSharding(mesh, P(None, "dp", None)))
         return self
+
+    def topk_counts(self, q_sanitized: np.ndarray, cap: int,
+                    min_score: int):
+        """SPARSE multi-chip hit counting: per-shard bcount + per-shard
+        top-``cap`` with global gids (sharded_count_planes_topk) — only
+        (count, gid) candidates cross d2h, never a dense (Q, G) block.
+
+        q_sanitized must already be _query_side output (values in
+        [-3, 2^W)). Returns (vals, gids, shard_cap) with vals/gids
+        (Q, tp*shard_cap) int32, or None when the planes kernel is not
+        this index's route (callers fall back to dense counts). A row
+        overflowed shard s iff vals[row, s*shard_cap + shard_cap - 1]
+        >= min_score."""
+        if self._kernel != "planes" or min_score < 1:
+            return None
+        from ..ops.bcount import BLOCK_Q
+        import jax.numpy as jnp
+        q = np.atleast_2d(np.asarray(q_sanitized, np.int32))
+        Q = len(q)
+        q_align = self._dp * BLOCK_Q
+        pad_q = -Q % q_align
+        if pad_q:
+            q = np.vstack([q, np.full((pad_q, q.shape[1]), -3, np.int32)])
+        key = ("topk", cap)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = self._fns[key] = sharded_count_planes_topk(
+                self.mesh, cap=cap, interpret=self._interpret)
+        qp = self._qpack(jnp.asarray(q), W=self.params.W, query=True)
+        vals, gids = fn(qp, self._planes, np.int32(min_score))
+        vals, gids = np.asarray(vals), np.asarray(gids)
+        shard_cap = vals.shape[1] // self._tp
+        return vals[:Q], gids[:Q], shard_cap
+
+    def selfjoin_block(self, lo: int, B: int, cap: int | None,
+                       min_score: int):
+        """All-vs-all block [lo, lo+B) vs the whole sharded index with zero
+        query h2d (sharded_selfjoin). cap set: (vals, gids, shard_cap),
+        uint16-wrapped counts, per-shard top-k with global gids. cap None:
+        dense (B, Gp) uint16 rows. [lo, lo+B) must lie inside [0, Gp)."""
+        if self._kernel != "planes":
+            return None
+        assert 0 <= lo and lo + B <= self._Gp
+        key = ("selfjoin", B, cap)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = self._fns[key] = sharded_selfjoin(
+                self.mesh, B=B, cap=cap, interpret=self._interpret)
+        res = fn(self._planes, np.int32(lo), np.int32(min_score))
+        if cap is None:
+            return np.asarray(res)
+        vals, gids = np.asarray(res[0]), np.asarray(res[1])
+        return vals, gids, vals.shape[1] // self._tp
 
     def counts(self, q_sketches: np.ndarray) -> np.ndarray:
         """(Q, G) hit counts; Q is padded to the mesh's block multiple."""

@@ -124,6 +124,96 @@ def sharded_count_planes(mesh: Mesh, interpret: bool = False):
     return jax.jit(fn)
 
 
+def sharded_count_planes_topk(mesh: Mesh, *, cap: int, wrap16: bool = False,
+                              interpret: bool = False):
+    """Per-shard bcount + per-shard top-k compaction: the multi-chip SPARSE
+    hit path. Each 'tp' shard counts its index rows, takes its own
+    top-``cap`` survivors, and rewrites local row ids to GLOBAL gids — so
+    only (count, gid) candidates cross the device->host boundary, never a
+    dense (Q, G) block (the d2h wall the single-device sparse path kills,
+    index.pretty_hits_batch).
+
+    Returns a jitted fn(qp (P, Q, L), xp (P, Gp, L), min_score scalar) ->
+    (vals, gids), each (Q, tp*cap) int32: shard s owns columns
+    [s*cap, (s+1)*cap), count-descending within its block, sub-threshold
+    entries masked to (0, 0) on device (the masked zeros compress on the
+    wire; the native formatters sort/merge survivors themselves). Q must be
+    a dp*BLOCK_Q multiple; a row overflows shard s iff its column
+    s*cap + cap - 1 is still >= min_score. ``wrap16`` wraps counts mod 2^16
+    first (the reference's uint16 matrix counters, niqki_index.cpp:572)."""
+    from ..ops.bcount import BLOCK_Q, _bcount_call, _mask_topk
+
+    def per_shard(qp, xp, min_score):
+        Qs = qp.shape[1]
+        outs = [_bcount_call(qp[:, lo:lo + BLOCK_Q], xp,
+                             interpret=interpret)
+                for lo in range(0, Qs, BLOCK_Q)]
+        c = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        if wrap16:
+            c = c & 0xFFFF
+        vals, idx = jax.lax.top_k(c, min(cap, c.shape[1]))
+        gids = idx + jax.lax.axis_index("tp") * c.shape[1]
+        return _mask_topk(vals, gids, min_score)
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(None, "dp", None), P(None, "tp", None), P()),
+        out_specs=(P("dp", "tp"), P("dp", "tp")),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_selfjoin(mesh: Mesh, *, B: int, cap: int | None,
+                     interpret: bool = False):
+    """All-vs-all self-join block under the mesh with ZERO query h2d: the
+    query block is B consecutive GLOBAL index rows, sliced out of the
+    tp-sharded planes by a masked gather + psum (each row is owned by
+    exactly one shard, so the sum reconstructs it bit-exactly), converted
+    to query planes on device, counted per shard, uint16-wrapped, and —
+    when ``cap`` is set — per-shard top-k compacted with global gids like
+    sharded_count_planes_topk. The multi-chip twin of
+    ops/bcount._self_join_topk/_self_join_dense.
+
+    Returns fn(xp (P, Gp, L), lo scalar, min_score scalar) ->
+      cap set:  (vals, gids) each (B, tp*cap) int32
+      cap None: dense (B, Gp) uint16 wrapped counts (min_score ignored)
+    Callers must keep [lo, lo+B) inside [0, Gp) (same clamped `starts`
+    logic as the single-device path): every query row must be owned, or a
+    zero-filled plane row would alias fingerprint 0."""
+    from ..ops.bcount import BLOCK_Q, _bcount_call, _mask_topk
+
+    def per_shard(xp, lo, min_score):
+        P_, Gs, L = xp.shape
+        tp_id = jax.lax.axis_index("tp")
+        ids = lo - tp_id * Gs + jnp.arange(B, dtype=jnp.int32)
+        own = (ids >= 0) & (ids < Gs)
+        rows = jnp.take(xp, jnp.clip(ids, 0, Gs - 1), axis=1)  # (P, B, L)
+        rows = jnp.where(own[None, :, None], rows, jnp.uint32(0))
+        qs = jax.lax.psum(rows, axis_name="tp")
+        # stored planes -> query planes (see bcount._planes_as_queries)
+        qp = jnp.concatenate([qs[:P_ - 1] | qs[P_ - 1:], qs[P_ - 1:]],
+                             axis=0)
+        outs = [_bcount_call(qp[:, o:o + BLOCK_Q], xp, interpret=interpret)
+                for o in range(0, B, BLOCK_Q)]
+        c = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        c = c & 0xFFFF   # reference uint16 matrix counters
+        if cap is None:
+            return c.astype(jnp.uint16)
+        vals, idx = jax.lax.top_k(c, min(cap, Gs))
+        gids = idx + tp_id * Gs
+        return _mask_topk(vals, gids, min_score)
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(None, "tp", None), P(), P()),
+        out_specs=P(None, "tp") if cap is None
+        else (P(None, "tp"), P(None, "tp")),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_count_packed(mesh: Mesh, interpret: bool = False):
     """Pair-packed Pallas count (ops/pcount) under shard_map.
 
