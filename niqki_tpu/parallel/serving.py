@@ -233,6 +233,18 @@ class ShardedIndex:
             out_shardings=NamedSharding(mesh, P(None, "dp", None)))
         return self
 
+    @staticmethod
+    def _to_host(arr) -> np.ndarray:
+        """Materialize a mesh-sharded result on the host. In a multi-process
+        mesh the output shards live on other processes' devices, so a plain
+        np.asarray would raise — gather across processes first (DCN path);
+        single-process meshes keep the zero-copy asarray."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(arr,
+                                                                tiled=True))
+        return np.asarray(arr)
+
     def topk_counts(self, q_sanitized: np.ndarray, cap: int,
                     min_score: int):
         """SPARSE multi-chip hit counting: per-shard bcount + per-shard
@@ -262,7 +274,7 @@ class ShardedIndex:
                 self.mesh, cap=cap, interpret=self._interpret)
         qp = self._qpack(jnp.asarray(q), W=self.params.W, query=True)
         vals, gids = fn(qp, self._planes, np.int32(min_score))
-        vals, gids = np.asarray(vals), np.asarray(gids)
+        vals, gids = self._to_host(vals), self._to_host(gids)
         shard_cap = vals.shape[1] // self._tp
         return vals[:Q], gids[:Q], shard_cap
 
@@ -282,8 +294,8 @@ class ShardedIndex:
                 self.mesh, B=B, cap=cap, interpret=self._interpret)
         res = fn(self._planes, np.int32(lo), np.int32(min_score))
         if cap is None:
-            return np.asarray(res)
-        vals, gids = np.asarray(res[0]), np.asarray(res[1])
+            return self._to_host(res)
+        vals, gids = self._to_host(res[0]), self._to_host(res[1])
         return vals, gids, vals.shape[1] // self._tp
 
     def counts(self, q_sketches: np.ndarray) -> np.ndarray:
@@ -308,7 +320,7 @@ class ShardedIndex:
         else:
             qd = jax.device_put(q, NamedSharding(self.mesh, P("dp", None)))
             out = self._count(qd, self._mat)
-        return np.asarray(out)[:Q, :self.G]
+        return self._to_host(out)[:Q, :self.G]
 
     def hits(self, q_sketch: np.ndarray):
         from ..index import hits_from_counts
