@@ -387,6 +387,10 @@ def main():
                     help="also run the ingest/ckpt/query section at the "
                          "reference's golden S=15 (F=32768) sizes")
     ap.add_argument("--no-s15", dest="s15", action="store_false")
+    ap.add_argument("--skip-base", action="store_true",
+                    help="skip the sketch-throughput / synthetic-count / "
+                         "synthetic-e2e sections (targeted matrix or "
+                         "ingest runs)")
     args = ap.parse_args()
 
     import jax
@@ -396,6 +400,20 @@ def main():
     p = SketchParams()  # defaults K=31 S=15 W=12 H=4
     paths = [f"/root/reference/resources/ecoli0{i}p.fa.gz"
              for i in range(1, 10)]
+
+    if args.skip_base:
+        if args.matrix_genomes:
+            bench_matrix(args.matrix_genomes, args.ingest_len)
+        if args.ingest_genomes:
+            bench_ingest_e2e(args.ingest_genomes, args.ingest_len)
+            bench_skewed_query(args.ingest_genomes, args.ingest_len)
+            bench_restart(args.ingest_genomes, args.ingest_len)
+            if args.s15:
+                bench_ingest_e2e(args.ingest_genomes, args.ingest_len,
+                                 s15=True)
+                bench_restart(args.ingest_genomes, args.ingest_len,
+                              s15=True)
+        return 0
 
     # --- sketch throughput -------------------------------------------------
     # NOTE: the remote-TPU transport caches identical (kernel, input) pairs,

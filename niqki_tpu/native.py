@@ -454,6 +454,25 @@ def count_eq(q: np.ndarray, mat: np.ndarray, fp_range: int,
     return out
 
 
+class _FmtBuf:
+    """Grow-only reusable output buffer for the native formatters: a fresh
+    ctypes.create_string_buffer per block both memsets the whole capacity
+    and (at matrix scale, ~150 MB per 768-row block) gets mmap'd/munmap'd
+    by glibc every call — re-faulting fresh pages each block is exactly the
+    hostmem first-touch pathology. One buffer lives as long as the
+    formatter; exactly n bytes are copied out per call."""
+
+    def __init__(self):
+        self._cap = 0
+        self._buf = None
+
+    def get(self, cap: int):
+        if cap > self._cap:
+            self._cap = max(cap, self._cap * 2)
+            self._buf = ctypes.create_string_buffer(self._cap)
+        return self._buf
+
+
 class HitsFormatter:
     """Formats pretty-hit rows for counts blocks in C++ — byte-identical
     with write_pretty_hits(index.hits_from_counts(...)) but ~30x faster at
@@ -473,6 +492,7 @@ class HitsFormatter:
         np.cumsum([len(b) for b in blobs], out=self._name_off[1:])
         self._max_name = max((len(b) for b in blobs), default=0)
         self.G = len(blobs)
+        self._obuf = _FmtBuf()
 
     def format(self, counts: np.ndarray, headers: list[str]) -> bytes:
         counts = np.ascontiguousarray(counts, np.int32)
@@ -484,13 +504,13 @@ class HitsFormatter:
         np.cumsum([len(b) for b in hb], out=hoff[1:])
         nhits = int((counts >= self.min_score).sum())
         cap = len(hblob) + 2 * B + nhits * (self._max_name + 16) + 64
-        out = ctypes.create_string_buffer(cap)
+        out = self._obuf.get(cap)
         n = self._lib.nq_format_hits(counts, B, G, self.min_score, self.F,
                                      self._names, self._name_off, hblob,
                                      hoff, out, cap)
         if n < 0:
             raise RuntimeError("nq_format_hits capacity underestimated")
-        return out.raw[:n]
+        return ctypes.string_at(out, n)
 
     def format_sparse(self, vals: np.ndarray, idx: np.ndarray,
                       headers: list[str]) -> bytes:
@@ -507,7 +527,7 @@ class HitsFormatter:
         np.cumsum([len(b) for b in hb], out=hoff[1:])
         nhits = int((vals >= self.min_score).sum())
         cap = len(hblob) + 2 * B + nhits * (self._max_name + 16) + 64
-        out = ctypes.create_string_buffer(cap)
+        out = self._obuf.get(cap)
         G = len(self._name_off) - 1
         n = self._lib.nq_format_hits_sparse(
             vals, idx, B, kcap, G, self.min_score, self.F,
@@ -515,7 +535,7 @@ class HitsFormatter:
         if n < 0:
             raise RuntimeError("nq_format_hits_sparse failed: capacity or "
                                "survivor contract violated")
-        return out.raw[:n]
+        return ctypes.string_at(out, n)
 
 
 class MatrixFormatter:
@@ -538,6 +558,7 @@ class MatrixFormatter:
         np.cumsum([len(b) for b in blobs], out=self._name_off[1:])
         self._max_name = max((len(b) for b in blobs), default=0)
         self.G = len(blobs)
+        self._obuf = _FmtBuf()
 
     def format_sparse(self, vals: np.ndarray, idx: np.ndarray,
                       row0: int) -> bytes:
@@ -546,14 +567,14 @@ class MatrixFormatter:
         B, cap = vals.shape
         nsurv = int((vals >= self.min_score).sum())
         out_cap = 2 * B * self.G + nsurv * 14 + B * (self._max_name + 4) + 64
-        out = ctypes.create_string_buffer(out_cap)
+        out = self._obuf.get(out_cap)
         n = self._lib.nq_format_matrix_sparse(
             vals, idx, B, cap, self.G, self.F, self.min_score,
             self._names, self._name_off, row0, out, out_cap)
         if n < 0:
             raise RuntimeError(f"nq_format_matrix_sparse failed ({n}): "
                                "capacity or survivor contract violated")
-        return out.raw[:n]
+        return ctypes.string_at(out, n)
 
     def format_dense(self, counts: np.ndarray, row0: int) -> bytes:
         counts = np.ascontiguousarray(counts, np.uint16)
@@ -561,14 +582,14 @@ class MatrixFormatter:
         assert G == self.G
         nnz = int(((counts >= max(self.min_score, 1))).sum())
         out_cap = 2 * B * G + nnz * 14 + B * (self._max_name + 4) + 64
-        out = ctypes.create_string_buffer(out_cap)
+        out = self._obuf.get(out_cap)
         n = self._lib.nq_format_matrix_dense(
             counts, B, G, self.F, self.min_score,
             self._names, self._name_off, row0, out, out_cap)
         if n < 0:
             raise RuntimeError("nq_format_matrix_dense capacity "
                                "underestimated")
-        return out.raw[:n]
+        return ctypes.string_at(out, n)
 
 
 def densify(sketch: np.ndarray) -> None:
