@@ -363,6 +363,9 @@ def bench_restart(n: int, length: int, s15: bool = False):
     srv = ShardedIndex.from_checkpoint(ck)
     h1 = srv.hits(q)
     v3_s = time.time() - t0
+    del srv   # free the serving planes before the legacy path builds its
+              # own: at S=15 their sum plus the chunked-pack transient
+              # (~2x 5.3 GB) exceeds a 16 GB v5e (observed OOM)
 
     t0 = time.time()
     idx2 = SketchIndex.load_sharded(ck)
@@ -575,6 +578,12 @@ def main():
                       "value": round(9 / dt, 2), "unit": "queries/s",
                       "vs_baseline_64core": round(9 / dt / 350.0, 2),
                       "hits_total": int(sum(len(h) for h in hits))}))
+
+    # Free the synthetic device index before the real-ingest sections: the
+    # S=15 sections build their own 5.3 GB planes with a ~2x transient
+    # during the chunked pack — with the synthetic planes still resident
+    # that OOMs a 16 GB v5e (observed RESOURCE_EXHAUSTED).
+    del xp, qp0
 
     # --- all-vs-all matrix at scale (device self-join path) ---------------
     if args.matrix_genomes:

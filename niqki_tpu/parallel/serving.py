@@ -185,7 +185,11 @@ class ShardedIndex:
         shards = manifest["shards"]
 
         def fill_rows(out: np.ndarray, a: int, b: int) -> None:
-            """Fill out (W+1, b-a, L) with planes of global rows [a, b)."""
+            """Fill out (W+1, b-a, L) with planes of global rows [a, b) —
+            ranged reads fan out over a thread pool (O_DIRECT preads and
+            np_pack_bitplanes release the GIL; the serial per-plane loop
+            was the measured wall of the S=15 mesh-direct restart)."""
+            tasks = []
             for sh in shards:
                 s_lo, s_hi = sh["lo"], sh["hi"]
                 o_lo, o_hi = max(a, s_lo), min(b, s_hi)
@@ -195,27 +199,43 @@ class ShardedIndex:
                     path = os.path.join(directory, sh["planes"])
                     rows_s = s_hi - s_lo
                     for pl in range(W + 1):
-                        dst = out[pl, o_lo - a:o_hi - a]
-                        off = ((pl * rows_s) + (o_lo - s_lo)) * L * 4
-                        hostmem.read_direct(path, dst, off)
+                        tasks.append((hostmem.read_direct, path,
+                                      out[pl, o_lo - a:o_hi - a],
+                                      ((pl * rows_s) + (o_lo - s_lo))
+                                      * L * 4))
                     continue
-                path = os.path.join(directory, sh["file"])
-                if sh["file"].endswith(".gz"):
-                    with open(path, "rb") as f:   # gz shards: no ranged IO
-                        raw = zlib.decompress(f.read(), 31)
-                    blk = np.frombuffer(raw, np.int32).reshape(-1, F)
-                    blk = blk[o_lo - s_lo:o_hi - s_lo]
-                else:
-                    blk = np.empty((o_hi - o_lo, F), np.int32)
-                    hostmem.read_direct(path, blk, (o_lo - s_lo) * F * 4)
-                bcount.np_pack_bitplanes(blk, W,
-                                         out=out[:, o_lo - a:o_hi - a])
+
+                def pack_shard(sh=sh, o_lo=o_lo, o_hi=o_hi):
+                    s_lo2 = sh["lo"]
+                    path2 = os.path.join(directory, sh["file"])
+                    if sh["file"].endswith(".gz"):
+                        with open(path2, "rb") as f:  # gz: no ranged IO
+                            raw = zlib.decompress(f.read(), 31)
+                        blk = np.frombuffer(raw, np.int32).reshape(-1, F)
+                        blk = blk[o_lo - s_lo2:o_hi - s_lo2]
+                    else:
+                        blk = np.empty((o_hi - o_lo, F), np.int32)
+                        hostmem.read_direct(path2, blk,
+                                            (o_lo - s_lo2) * F * 4)
+                    bcount.np_pack_bitplanes(blk, W,
+                                             out=out[:, o_lo - a:o_hi - a])
+                tasks.append((pack_shard,))
+            if len(tasks) <= 1:
+                for t in tasks:
+                    t[0](*t[1:])
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(min(8, max(2, os.cpu_count()
+                                                   or 2))) as ex:
+                    list(ex.map(lambda t: t[0](*t[1:]), tasks))
 
         def cb(index):
             rows = index[1]
             a = rows.start or 0
             b = rows.stop if rows.stop is not None else Gp
-            out = np.empty((W + 1, b - a, L), np.uint32)
+            # hugepage-backed: a 5.3 GB plain np.empty first-touches at
+            # the pathological rate on this host class (hostmem.py)
+            out = hostmem.big_empty((W + 1, b - a, L), np.uint32)
             real = min(b, G)
             if real > a:
                 fill_rows(out, a, real)
