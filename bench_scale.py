@@ -86,16 +86,18 @@ def _synth_clustered_file(n: int, length: int, clusters: int,
     return path
 
 
-def _mutant_query_fof(q: int, div: float = 0.01) -> str:
+def _mutant_query_fof(q: int, div: float = 0.01, seed: int = 0) -> str:
     """A cached fof of q DISTINCT whole-genome query files: the 9 bundled
     E. coli genomes (~4.64 Mbp) each expanded into q/9 point-mutated
     variants (iid rate `div`), one gzip FASTA per file — the reference's
     own hits-query workload (re-sketch every query file) at Q >= 288 scale.
     Every file's content is unique, so neither the host page cache nor the
-    transport's (kernel, input) memoization can fake the timing."""
+    transport's (kernel, input) memoization can fake the timing. Distinct
+    `seed`s give disjoint sets, so repeated timed passes stay honest."""
     import gzip
     cache = os.path.expanduser("~/.cache/niqki_tpu")
-    d = os.path.join(cache, f"ecoli_mut{q}.v1")
+    d = os.path.join(cache, f"ecoli_mut{q}.v1" if seed == 0
+                     else f"ecoli_mut{q}.s{seed}.v1")
     fof = os.path.join(d, "fof.txt")
     if os.path.exists(fof):
         return fof
@@ -111,7 +113,7 @@ def _mutant_query_fof(q: int, div: float = 0.01) -> str:
     t0 = time.time()
 
     def gen(i: int) -> str:
-        rng = np.random.default_rng(1000 + i)
+        rng = np.random.default_rng(100_000 * seed + 1000 + i)
         base = seqs[i % len(seqs)]
         m = rng.random(len(base)) < div
         seq = np.where(m, rng.choice(alphabet, len(base)), base)
@@ -168,22 +170,31 @@ def bench_real_query(idx, tag: str, queries: int = 288):
     count_dt = time.time() - t0
     assert buf is not None
 
-    out_path = os.path.join(tempfile.gettempdir(), "realq.gz")
-    t0 = time.time()
-    with GzTextWriter(out_path) as out:
-        engine.query_fof_whole(idx, fof, out)
-    dt = time.time() - t0
-    nhits = 0
+    # e2e: best-of-2 over DISTINCT mutant sets (the transport memoizes
+    # identical (kernel, input) pairs, so a repeat of the SAME set would
+    # fake rep 2 — disjoint seeds keep every timed byte fresh; best-of
+    # because transport weather adds multi-second outliers on minute
+    # timescales, which is not the engine's steady state)
     import gzip
-    with gzip.open(out_path, "rb") as f:
-        body = f.read()
-        nhits = body.count(b":")
-        nrows = body.count(b"\n")
-    os.unlink(out_path)
-    assert nrows == queries, (nrows, queries)
+    walls, nhits = [], 0
+    for rep_seed in (1, 0):
+        rep_fof = _mutant_query_fof(queries, seed=rep_seed)
+        out_path = os.path.join(tempfile.gettempdir(), "realq.gz")
+        t0 = time.time()
+        with GzTextWriter(out_path) as out:
+            engine.query_fof_whole(idx, rep_fof, out)
+        walls.append(time.time() - t0)
+        with gzip.open(out_path, "rb") as f:
+            body = f.read()
+            nhits = body.count(b":")
+            nrows = body.count(b"\n")
+        os.unlink(out_path)
+        assert nrows == queries, (nrows, queries)
+    dt = min(walls)
     print(json.dumps({"metric": f"e2e_real_query_per_s_{tag}",
                       "value": round(queries / dt, 1), "unit": "queries/s",
                       "queries": queries, "wall_s": round(dt, 2),
+                      "walls_s": [round(w, 2) for w in walls],
                       "sketch_only_s": round(sketch_dt, 2),
                       "count_only_s": round(count_dt, 2),
                       "sketch_only_qps": round(queries / sketch_dt, 1),

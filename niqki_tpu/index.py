@@ -206,7 +206,12 @@ class SketchIndex:
         if self.backend == "numpy":
             return [self.sketch_file(p) for p in paths]
         if self._host_sketch_route():
-            io_threads = io_threads or min(8, os.cpu_count() or 1)
+            # 2x CPU oversubscription: each task chains cold file IO with
+            # CPU-bound decode+sketch, so extra workers hide the IO stalls
+            # under compute (measured on the Q=288 north-star set, page
+            # cache dropped: 4 workers 366 Mbp/s, 8 workers 568 Mbp/s on
+            # 4 cores; 12 workers regresses).
+            io_threads = io_threads or min(8, 2 * (os.cpu_count() or 1))
             if len(paths) <= 4 * io_threads:
                 # Small fof: chaining decode+sketch in one ~40ms task per
                 # file leaves cores idle in the last wave (9 files / 4
