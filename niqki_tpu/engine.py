@@ -19,7 +19,7 @@ import os
 
 import numpy as np
 
-from .index import SketchIndex
+from .index import SketchIndex, maybe_active_mesh
 from .io.fasta import exists, read_fof, read_query_fof, read_records
 from .io.writers import (GzTextWriter, write_binary_hits, write_matrix_header,
                          write_matrix_row, write_pretty_hits)
@@ -176,19 +176,6 @@ def _matrix_selfjoin_mode(index: SketchIndex) -> bool:
     return ok and index.G >= 2048
 
 
-def _active_mesh_or_none():
-    """active_mesh() guarded by the cheap env pre-check (importing/initing
-    the backend just to learn 'no mesh' measured 60+ s on the tunnel)."""
-    spec = os.environ.get("NIQKI_TPU_MESH", "auto").strip().lower()
-    mesh_possible = spec not in ("off", "none", "0", "1", "1x1") and \
-        not (spec in ("auto", "")
-             and "axon" in os.environ.get("JAX_PLATFORMS", ""))
-    if not mesh_possible:
-        return None
-    from .parallel.auto import active_mesh
-    return active_mesh()
-
-
 def _query_matrix_selfjoin_mesh(index: SketchIndex, out: GzTextWriter,
                                 mesh) -> bool:
     """All-vs-all under an active mesh: each block of B global rows is
@@ -202,11 +189,7 @@ def _query_matrix_selfjoin_mesh(index: SketchIndex, out: GzTextWriter,
     from . import native
     from .ops import bcount
     p = index.params
-    if index._sharded is None or index._sharded.G != index.G \
-            or index._sharded.mesh is not mesh:
-        from .parallel.serving import ShardedIndex
-        index._sharded = ShardedIndex(index, mesh)
-    sharded = index._sharded
+    sharded = index._sharded_for(mesh)
     if sharded._kernel != "planes":
         return False
     G, Gp = index.G, sharded._Gp
@@ -214,25 +197,45 @@ def _query_matrix_selfjoin_mesh(index: SketchIndex, out: GzTextWriter,
     cap = min(Gp, int(os.environ.get("NIQKI_TPU_MATRIX_CAP", "1024")))
     sparse = p.min_score > 0
     fmt = native.MatrixFormatter(index.names, p.F, p.min_score)
+
+    starts = []
     for lo in range(0, G, B):
         start = max(0, min(lo, Gp - B))
-        off, n = lo - start, min(B - (lo - start), G - lo)
+        starts.append((lo, start, lo - start, min(B - (lo - start), G - lo)))
+
+    def fetch(i):
+        lo, start, off, n = starts[i]
         if not sparse:
-            c = sharded.selfjoin_block(start, B, None, 0)
-            out.write(fmt.format_dense(c[off:off + n, :G], lo))
-            continue
-        vals, gids, shard_cap = sharded.selfjoin_block(start, B, cap,
-                                                       p.min_score)
-        vals, gids = vals[off:off + n], gids[off:off + n]
-        tp = vals.shape[1] // shard_cap
-        if shard_cap < Gp // tp and \
-                (vals.reshape(n, tp, shard_cap)[:, :, -1]
-                 >= p.min_score).any():
-            # some shard's row hit its cap: re-fetch the block dense
-            c = sharded.selfjoin_block(start, B, None, 0)
-            out.write(fmt.format_dense(c[off:off + n, :G], lo))
-        else:
-            out.write(fmt.format_sparse(vals, gids, lo))
+            return sharded.selfjoin_block(start, B, None, 0)
+        return sharded.selfjoin_block(start, B, cap, p.min_score)
+
+    # Fetch-ahead-by-1 on a thread: block i+1's shard kernels + cross-shard
+    # gather + d2h run while block i's survivors format/write on the host —
+    # the same overlap the single-device self-join uses (its unoverlapped
+    # d2h was the measured matrix wall, tools/matrix_probe.py). selfjoin_
+    # block is self-contained (compiled-fn cache + materialization), so one
+    # background fetcher keeps ordering without touching shared state.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(1) as fetcher:
+        pending = fetcher.submit(fetch, 0) if starts else None
+        for i, (lo, start, off, n) in enumerate(starts):
+            res = pending.result()
+            pending = fetcher.submit(fetch, i + 1) \
+                if i + 1 < len(starts) else None
+            if not sparse:
+                out.write(fmt.format_dense(res[off:off + n, :G], lo))
+                continue
+            vals, gids, shard_cap = res
+            vals, gids = vals[off:off + n], gids[off:off + n]
+            tp = vals.shape[1] // shard_cap
+            if shard_cap < Gp // tp and \
+                    (vals.reshape(n, tp, shard_cap)[:, :, -1]
+                     >= p.min_score).any():
+                # some shard's row hit its cap: re-fetch the block dense
+                c = sharded.selfjoin_block(start, B, None, 0)
+                out.write(fmt.format_dense(c[off:off + n, :G], lo))
+            else:
+                out.write(fmt.format_sparse(vals, gids, lo))
     return True
 
 
@@ -252,7 +255,7 @@ def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> bool:
     from . import native
     from .ops import bcount
     p = index.params
-    mesh = _active_mesh_or_none()
+    mesh = maybe_active_mesh()
     if mesh is not None:
         return _query_matrix_selfjoin_mesh(index, out, mesh)
     interp = jax.devices()[0].platform != "tpu"

@@ -46,6 +46,22 @@ def hits_from_counts(counts: np.ndarray, min_score: int
     return [(int(c[g]), int(g)) for g in sel[order]]
 
 
+def maybe_active_mesh():
+    """The production-mesh gate shared by counts / pretty_hits_batch / the
+    engine's matrix route: a jax-free env pre-check first (importing
+    .parallel pulls jax in at module scope, which a host-routed job must
+    not do, and initializing the remote backend just to learn 'no mesh'
+    measured 60+ s on the tunnel), then parallel.auto.active_mesh().
+    Returns the active Mesh or None."""
+    spec = os.environ.get("NIQKI_TPU_MESH", "auto").strip().lower()
+    if spec in ("off", "none", "0", "1", "1x1") or (
+            spec in ("auto", "")
+            and "axon" in os.environ.get("JAX_PLATFORMS", "")):
+        return None
+    from .parallel.auto import active_mesh
+    return active_mesh()
+
+
 def hits_from_counts_batch(counts: np.ndarray, min_score: int
                            ) -> list[list[tuple[int, int]]]:
     """hits_from_counts over a whole (B, G) block with ONE argsort: the
@@ -557,6 +573,19 @@ class SketchIndex:
 
     # ------------------------------------------------------------------
     # querying
+    def _sharded_for(self, mesh):
+        """The ShardedIndex serving this index on ``mesh``, rebuilt on G
+        change AND on mesh change: flipping NIQKI_TPU_MESH between calls in
+        one process must not reuse a stale device layout (active_mesh
+        caches one Mesh object per spec, so identity comparison suffices).
+        Single source for the three mesh routes (counts, pretty_hits_batch,
+        engine matrix self-join)."""
+        if self._sharded is None or self._sharded.G != self.G \
+                or self._sharded.mesh is not mesh:
+            from .parallel.serving import ShardedIndex
+            self._sharded = ShardedIndex(self, mesh)
+        return self._sharded
+
     def counts(self, q_sketches: np.ndarray) -> np.ndarray:
         """Hit counts (Q, G) for a batch of query sketches (Q, F)."""
         raw = np.atleast_2d(np.asarray(q_sketches, np.int32))
@@ -572,29 +601,9 @@ class SketchIndex:
         # Multi-chip: when a production mesh is active (NIQKI_TPU_MESH /
         # --mesh, or >1 TPU device), serve counts from the tp-row-sharded
         # ShardedIndex — identical results, sharding is a layout choice.
-        # active_mesh() needs a backend, so it is only consulted when the
-        # env says a mesh could exist: explicit DxT, or "auto" off the
-        # tunnel ("auto" behind axon is always one device -> no mesh, and
-        # initializing the remote backend alone measured 60+ s).
-        # (env read inlined: importing .parallel pulls jax in at module
-        # scope, which a host-routed job must not do)
-        spec = os.environ.get("NIQKI_TPU_MESH", "auto").strip().lower()
-        mesh_possible = spec not in ("off", "none", "0", "1", "1x1") and \
-            not (spec in ("auto", "")
-                 and "axon" in os.environ.get("JAX_PLATFORMS", ""))
-        if mesh_possible:
-            from .parallel.auto import active_mesh
-            mesh = active_mesh()
-            if mesh is not None:
-                # Rebuild on G change AND on mesh change: flipping
-                # NIQKI_TPU_MESH between counts calls in one process must
-                # not reuse a stale device layout (active_mesh caches one
-                # Mesh object per spec, so identity comparison suffices).
-                if self._sharded is None or self._sharded.G != self.G \
-                        or self._sharded.mesh is not mesh:
-                    from .parallel.serving import ShardedIndex
-                    self._sharded = ShardedIndex(self, mesh)
-                return self._sharded.counts(self._query_side(raw))
+        mesh = maybe_active_mesh()
+        if mesh is not None:
+            return self._sharded_for(mesh).counts(self._query_side(raw))
         # Kernel routing: bit-plane Pallas kernel for big indexes (the ~5x
         # arithmetic-intensity win only matters when the index dominates),
         # pair-packed pcount as fallback, XLA broadcast-compare otherwise;
@@ -717,42 +726,42 @@ class SketchIndex:
         mode = os.environ.get("NIQKI_TPU_COUNT", "auto")
         if mode not in ("auto", "bcount", "bcount-interpret"):
             return None
-        raw = np.atleast_2d(np.asarray(q_sketches, np.int32))
-        assert len(raw) == len(headers)
-        q = self._query_side(raw)
         cap = min(self.G,
                   int(os.environ.get("NIQKI_TPU_HITS_CAP", "2048")))
-        spec = os.environ.get("NIQKI_TPU_MESH", "auto").strip().lower()
-        mesh_possible = spec not in ("off", "none", "0", "1", "1x1") and \
-            not (spec in ("auto", "")
-                 and "axon" in os.environ.get("JAX_PLATFORMS", ""))
-        if mesh_possible:
-            from .parallel.auto import active_mesh
-            mesh = active_mesh()
-            if mesh is not None:
-                if self._sharded is None or self._sharded.G != self.G \
-                        or self._sharded.mesh is not mesh:
-                    from .parallel.serving import ShardedIndex
-                    self._sharded = ShardedIndex(self, mesh)
-                res = self._sharded.topk_counts(q, cap, p.min_score)
-                if res is None:     # non-planes shard kernel: dense serves
-                    return None
-                vals, gids, shard_cap = res
-                tp = vals.shape[1] // shard_cap
-                shard_rows = self._sharded._Gp // tp
-                if shard_cap < shard_rows:
-                    over = (vals.reshape(len(q), tp, shard_cap)[:, :, -1]
-                            >= p.min_score).any(axis=1)
-                else:
-                    over = np.zeros(len(q), bool)
-                return self._emit_sparse_rows(q, headers, vals, gids, over,
-                                              self._sharded.counts)
+        if cap < 1:
+            # Empty index (G == 0) or cap disabled: the dense path serves
+            # (a zero cap would also divide by zero in the mesh branch).
+            return None
+        raw = np.atleast_2d(np.asarray(q_sketches, np.int32))
+        assert len(raw) == len(headers)
+        mesh = maybe_active_mesh()
+        if mesh is not None:
+            sharded = self._sharded_for(mesh)
+            q = self._query_side(raw)
+            res = sharded.topk_counts(q, cap, p.min_score)
+            if res is None:     # non-planes shard kernel: dense serves
+                return None
+            vals, gids, shard_cap = res
+            tp = vals.shape[1] // shard_cap
+            shard_rows = sharded._Gp // tp
+            if shard_cap < shard_rows:
+                over = (vals.reshape(len(q), tp, shard_cap)[:, :, -1]
+                        >= p.min_score).any(axis=1)
+            else:
+                over = np.zeros(len(q), bool)
+            return self._emit_sparse_rows(q, headers, vals, gids, over,
+                                          sharded.counts)
+        # Remaining eligibility gates BEFORE sanitizing: _query_side
+        # materializes a fresh (n, F) int32 copy, which at read-scale
+        # chunks (32k x 32768) is GB-scale first-touch — pure waste on
+        # every ineligible call (hostmem.py pathology).
         if self.G < 4096:
             return None
         from .ops import bcount
         interp = mode == "bcount-interpret"
         if not interp and not bcount.available(p.F, p.W):
             return None
+        q = self._query_side(raw)
         if self._device_planes is None:
             self._device_planes = bcount.build_index_planes(
                 self._stored(), p.W, sanitized=True)

@@ -59,6 +59,22 @@ def test_pretty_hits_batch_mesh_matches_dense(monkeypatch):
     assert buf2 == want
 
 
+def test_pretty_hits_batch_mesh_empty_index_and_zero_cap(monkeypatch):
+    """G == 0 (e.g. an insert fof whose entries were all missing) and
+    NIQKI_TPU_HITS_CAP=0 must both bail to the dense path (None), not
+    divide by zero in the mesh shard-cap math."""
+    monkeypatch.setenv("NIQKI_TPU_MESH", "2x4")
+    p = SketchParams(lF=12, K=21, min_fract=0.05)
+    empty = SketchIndex(p)
+    q = np.zeros((2, p.F), np.int32)
+    assert empty.pretty_hits_batch(q, ["a", "b"]) is None
+    assert empty.counts(q).shape == (2, 0)
+
+    monkeypatch.setenv("NIQKI_TPU_HITS_CAP", "0")
+    idx = _index_with_clusters(24, p, 5)
+    assert idx.pretty_hits_batch(q, ["a", "b"]) is None
+
+
 def _matrix_bytes(idx) -> bytes:
     import tempfile, os
     fd, path = tempfile.mkstemp(suffix=".gz")
