@@ -145,6 +145,13 @@ def bench_real_query(idx, tag: str, queries: int = 288):
     from niqki_tpu import engine
     from niqki_tpu.io.writers import GzTextWriter
     p = idx.params
+    # Give every mutant query a REAL hit: the 9 ancestor E. coli genomes
+    # join the synthetic index, so hit extraction + pretty formatting are
+    # on the timed path (an all-synthetic index returns zero hits and
+    # exercises them trivially).
+    for i, path in enumerate(f"/root/reference/resources/ecoli0{j}p.fa.gz"
+                             for j in range(1, 10)):
+        idx.insert_sketch(idx.sketch_file(path), f"ecoli0{i+1}p")
     fof = _mutant_query_fof(queries)
     with open(fof) as f:
         paths = [ln.strip() for ln in f if ln.strip()]
