@@ -276,7 +276,7 @@ def bench_ingest_e2e(n: int, length: int, s15: bool = False):
     bench_real_query(idx, tag)
 
 
-def bench_matrix(n: int, length: int):
+def bench_matrix(n: int, length: int, s15: bool = False):
     """VERDICT r2 item 3: an all-vs-all matrix at G >= 10k through the
     production path (engine.query_matrix -> device self-join: zero query
     h2d, uint16 wrap + top-k compaction on device, native row formatting).
@@ -293,20 +293,29 @@ def bench_matrix(n: int, length: int):
     from niqki_tpu import SketchIndex, SketchParams, engine
     from niqki_tpu.io.writers import GzTextWriter
     path = _synth_clustered_file(n, length, clusters=128)
-    p = SketchParams(lF=12, min_fract=0.05)    # min_score=204 of F=4096
+    if s15:
+        # The golden S=15 (F=32768) config needs ~100 kb+ records for
+        # dense sketches (~3 k-mers/slot); run it on the long-genome
+        # clustered set rather than the 10 kb one (see the lF=12 note
+        # above — 10 kb at F=32768 is the degenerate mostly-empty regime).
+        p = SketchParams(min_fract=0.05)       # min_score=1638 of F=32768
+        tag = f"G{n}_s15"
+    else:
+        p = SketchParams(lF=12, min_fract=0.05)  # min_score=204 of F=4096
+        tag = f"G{n}"
     idx = SketchIndex(p)
     t0 = time.time()
     idx.insert_file_lines(path)
     ingest_s = time.time() - t0
     assert idx.G == n
-    out_path = os.path.join(tempfile.gettempdir(), f"matrix_G{n}.gz")
+    out_path = os.path.join(tempfile.gettempdir(), f"matrix_{tag}.gz")
     t0 = time.time()
     with GzTextWriter(out_path) as out:
         engine.query_matrix(idx, out)
     dt = time.time() - t0
     sz = os.path.getsize(out_path)
     os.unlink(out_path)
-    print(json.dumps({"metric": f"matrix_rows_per_s_G{n}",
+    print(json.dumps({"metric": f"matrix_rows_per_s_{tag}",
                       "value": round(n / dt, 1), "unit": "rows/s",
                       "wall_s": round(dt, 1),
                       "ingest_s": round(ingest_s, 1),
@@ -407,6 +416,10 @@ def main():
     ap.add_argument("--ingest-len", type=int, default=10_000)
     ap.add_argument("--matrix-genomes", type=int, default=10_240,
                     help="all-vs-all matrix size (0 skips the section)")
+    ap.add_argument("--matrix-s15-genomes", type=int, default=0,
+                    help="all-vs-all matrix at the golden S=15 config on "
+                         "long clustered genomes (0 skips)")
+    ap.add_argument("--matrix-s15-len", type=int, default=100_000)
     ap.add_argument("--s15", action="store_true", default=True,
                     help="also run the ingest/ckpt/query section at the "
                          "reference's golden S=15 (F=32768) sizes")
@@ -428,6 +441,9 @@ def main():
     if args.skip_base:
         if args.matrix_genomes:
             bench_matrix(args.matrix_genomes, args.ingest_len)
+        if args.matrix_s15_genomes:
+            bench_matrix(args.matrix_s15_genomes, args.matrix_s15_len,
+                         s15=True)
         if args.ingest_genomes:
             bench_ingest_e2e(args.ingest_genomes, args.ingest_len)
             bench_skewed_query(args.ingest_genomes, args.ingest_len)
@@ -609,6 +625,8 @@ def main():
     # --- all-vs-all matrix at scale (device self-join path) ---------------
     if args.matrix_genomes:
         bench_matrix(args.matrix_genomes, args.ingest_len)
+    if args.matrix_s15_genomes:
+        bench_matrix(args.matrix_s15_genomes, args.matrix_s15_len, s15=True)
 
     # --- real 100k-genome end-to-end (build-side scale) -------------------
     if args.ingest_genomes:
