@@ -174,9 +174,14 @@ def _load():
         ctypes.c_char_p,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ctypes.c_char_p, ctypes.c_int64]
+    lib.nq_pack_bitplanes.restype = ctypes.c_int64
+    lib.nq_pack_bitplanes.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64]
     lib.nq_abi_version.restype = ctypes.c_int64
     lib.nq_abi_version.argtypes = []
-    if lib.nq_abi_version() != 8:
+    if lib.nq_abi_version() != 9:
         return None
     _lib = lib
     return _lib
@@ -590,6 +595,28 @@ class MatrixFormatter:
             raise RuntimeError("nq_format_matrix_dense capacity "
                                "underestimated")
         return ctypes.string_at(out, n)
+
+
+def pack_bitplanes(mat: np.ndarray, W: int, out: np.ndarray) -> bool:
+    """AVX-512 bit-plane pack of (N, F) int32 rows into ``out`` — a
+    (W+1, N, L) uint32 array or view whose last two axes are C-contiguous
+    (the plane stride may exceed N*L: checkpoint loaders pack into row
+    slices of a bigger planes buffer). Bit-identical with the numpy
+    ops/bcount.np_pack_bitplanes body it accelerates. Returns False when
+    the native lib is unavailable or the layout doesn't fit (callers fall
+    back to the numpy path)."""
+    lib = _load()
+    if lib is None:
+        return False
+    m = np.ascontiguousarray(mat, np.int32)
+    N, F = m.shape
+    L = F // 32
+    if out.dtype != np.uint32 or out.shape != (W + 1, N, L):
+        return False
+    s0, s1, s2 = out.strides
+    if s2 != 4 or s1 != L * 4 or s0 % 4 != 0:
+        return False
+    return lib.nq_pack_bitplanes(m, N, F, W, out.ctypes.data, s0 // 4) == 0
 
 
 def densify(sketch: np.ndarray) -> None:

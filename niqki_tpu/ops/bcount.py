@@ -395,6 +395,13 @@ def np_pack_bitplanes(mat: np.ndarray, W: int,
         from ..hostmem import big_empty
         out = big_empty((W + 1, N, L), np.uint32)
 
+    # Native AVX-512 fast path (two vptestmd per plane per 32 values —
+    # the numpy tree pack below was the measured wall of the v3 planes
+    # save); bit-identical, falls through on layout/lib misfit.
+    from .. import native
+    if native.available() and native.pack_bitplanes(m, W, out):
+        return out
+
     def pack_bits(b):
         c = b
         w = 1

@@ -47,6 +47,28 @@ def test_np_pack_bitplanes_matches_device_pack():
     np.testing.assert_array_equal(got, want)
 
 
+def test_native_pack_bitplanes_matches_numpy():
+    """The AVX-512 nq_pack_bitplanes fast path is bit-identical with the
+    pure-numpy tree pack, including the strided-view case the checkpoint
+    loaders use (packing into a row slice of a bigger planes buffer)."""
+    from niqki_tpu import native
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    from unittest import mock
+    rng = np.random.default_rng(12)
+    for (N, F, W) in [(130, 4096, 12), (64, 1024, 7), (37, 2048, 30)]:
+        m = rng.integers(-3, 1 << W, size=(N, F)).astype(np.int32)
+        got = bcount.np_pack_bitplanes(m, W)          # native route
+        with mock.patch.object(native, "pack_bitplanes",
+                               lambda *a: False):     # numpy route
+            want = bcount.np_pack_bitplanes(m, W)
+        np.testing.assert_array_equal(got, want)
+        big = np.zeros((W + 1, N + 40, F // 32), np.uint32)
+        assert native.pack_bitplanes(m, W, big[:, 9:9 + N])
+        np.testing.assert_array_equal(big[:, 9:9 + N], want)
+        assert not big[:, :9].any() and not big[:, 9 + N:].any()
+
+
 @pytest.mark.parametrize("planes", [True, False])
 def test_from_checkpoint_counts_match(tmp_path, mesh, planes):
     idx = _build_index()
