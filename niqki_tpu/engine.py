@@ -60,14 +60,20 @@ def _stack_sketches(sks) -> np.ndarray:
 
 
 def query_fof_whole(index: SketchIndex, fof_path: str, out: GzTextWriter,
-                    pretty: bool = True, batch: int = 256) -> None:
+                    pretty: bool = True, batch: int = 96) -> None:
     """-Q: each fof entry (resolved from CWD) is sketched whole and queried.
 
     PIPELINED: chunk i+1's sketching (host thread pool / device batches)
     overlaps chunk i's hit counting (device kernel + wire) and output
     formatting — the two phases consume disjoint resources, so the e2e
     wall approaches max(sketch, count) instead of their sum. Output rows
-    stream in fof order.
+    stream in fof order. batch=96 == ops.bcount.BLOCK_Q: one count-kernel
+    block per chunk, and a chunk sketches in ~0.75 s at genome scale —
+    fine-grained enough that the count/format of chunk i really hides
+    under chunk i+1's sketching (the old 256 split a Q=288 fof into a
+    lopsided 256+32 pair whose count phases were mostly exposed: measured
+    85.5 -> 107.5 q/s at the north-star config, e2e = 88% of the pure
+    sketch bound).
     """
     lines = [ln for ln in read_query_fof(fof_path) if exists(ln)]
     chunks = [lines[lo:lo + batch] for lo in range(0, len(lines), batch)]

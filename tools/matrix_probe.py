@@ -30,13 +30,16 @@ def main():
     ap.add_argument("--genomes", type=int, default=10240)
     ap.add_argument("--cap", type=int, default=1024)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--lF", type=int, default=12,
+                    help="12 = the bench_matrix config (F=4096); 15 = the "
+                         "golden S=15 config (F=32768)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     from niqki_tpu.ops import bcount
 
-    W, F = 12, 4096  # the bench_matrix config (lF=12)
+    W, F = 12, 1 << args.lF
     G = args.genomes
     Gp = -(-G // bcount.TILE_G) * bcount.TILE_G
     L = F // 32
