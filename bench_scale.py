@@ -54,7 +54,7 @@ def _synth_genomes_file(n: int, length: int) -> str:
 
 
 def _synth_clustered_file(n: int, length: int, clusters: int,
-                          mut: float = 0.02) -> str:
+                          mut: float = 0.02, seed: int = 7) -> str:
     """A cached FASTA of `clusters` random ancestors, each expanded into
     n/clusters descendants by iid point mutations (rate `mut`, replacement
     drawn uniformly incl. the same base -> effective ~0.75*mut). Queries
@@ -63,11 +63,12 @@ def _synth_clustered_file(n: int, length: int, clusters: int,
     import gzip
     cache = os.path.expanduser("~/.cache/niqki_tpu")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"synthc_{n}x{length}c{clusters}.v1.fa.gz")
+    sfx = "" if seed == 7 else f".s{seed}"
+    path = os.path.join(cache, f"synthc_{n}x{length}c{clusters}{sfx}.v1.fa.gz")
     if os.path.exists(path):
         return path
     log(f"generating {path} ({clusters} clusters x ~{n//clusters})...")
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)
     alphabet = np.frombuffer(b"ACGT", np.uint8)
     t0 = time.time()
     gid = 0
@@ -276,7 +277,7 @@ def bench_ingest_e2e(n: int, length: int, s15: bool = False):
     bench_real_query(idx, tag)
 
 
-def bench_matrix(n: int, length: int, s15: bool = False):
+def bench_matrix(n: int, length: int, s15: bool = False, seed: int = 7):
     """VERDICT r2 item 3: an all-vs-all matrix at G >= 10k through the
     production path (engine.query_matrix -> device self-join: zero query
     h2d, uint16 wrap + top-k compaction on device, native row formatting).
@@ -292,7 +293,7 @@ def bench_matrix(n: int, length: int, s15: bool = False):
     tests/test_matrix_selfjoin.py)."""
     from niqki_tpu import SketchIndex, SketchParams, engine
     from niqki_tpu.io.writers import GzTextWriter
-    path = _synth_clustered_file(n, length, clusters=128)
+    path = _synth_clustered_file(n, length, clusters=128, seed=seed)
     if s15:
         # The golden S=15 (F=32768) config needs ~100 kb+ records for
         # dense sketches (~3 k-mers/slot); run it on the long-genome
@@ -446,6 +447,10 @@ def main():
                     help="all-vs-all matrix at the golden S=15 config on "
                          "long clustered genomes (0 skips)")
     ap.add_argument("--matrix-s15-len", type=int, default=100_000)
+    ap.add_argument("--matrix-seed", type=int, default=7,
+                    help="clustered-input RNG seed: a fresh seed gives a "
+                         "never-before-seen input set (the transport "
+                         "memoizes identical (kernel, input) executions)")
     ap.add_argument("--s15", action="store_true", default=True,
                     help="also run the ingest/ckpt/query section at the "
                          "reference's golden S=15 (F=32768) sizes")
@@ -480,10 +485,11 @@ def main():
 
     if args.skip_base:
         if args.matrix_genomes:
-            bench_matrix(args.matrix_genomes, args.ingest_len)
+            bench_matrix(args.matrix_genomes, args.ingest_len,
+                         seed=args.matrix_seed)
         if args.matrix_s15_genomes:
             bench_matrix(args.matrix_s15_genomes, args.matrix_s15_len,
-                         s15=True)
+                         s15=True, seed=args.matrix_seed)
         if args.ingest_genomes:
             bench_ingest_e2e(args.ingest_genomes, args.ingest_len)
             bench_skewed_query(args.ingest_genomes, args.ingest_len)
@@ -664,9 +670,11 @@ def main():
 
     # --- all-vs-all matrix at scale (device self-join path) ---------------
     if args.matrix_genomes:
-        bench_matrix(args.matrix_genomes, args.ingest_len)
+        bench_matrix(args.matrix_genomes, args.ingest_len,
+                     seed=args.matrix_seed)
     if args.matrix_s15_genomes:
-        bench_matrix(args.matrix_s15_genomes, args.matrix_s15_len, s15=True)
+        bench_matrix(args.matrix_s15_genomes, args.matrix_s15_len, s15=True,
+                     seed=args.matrix_seed)
 
     # --- real 100k-genome end-to-end (build-side scale) -------------------
     if args.ingest_genomes:

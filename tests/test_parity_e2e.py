@@ -128,3 +128,22 @@ def test_multiwindow_pipeline(tmp_path):
         want = oracle.sketch_records(
             [s for _, s in read_records(str(tmp_path / names[i]), p.K)], p)
         assert np.array_equal(idx.matrix()[i], want), i
+
+
+def test_query_fof_whole_batch_invariance(fixtures, ecoli_dir,
+                                          ecoli_index_s10, tmp_path,
+                                          monkeypatch):
+    """The query pipeline's chunk size is a pure performance knob (r4 moved
+    the default 256 -> 96 = bcount.BLOCK_Q to deepen the sketch/count
+    overlap): output must be byte-identical for ANY batch, including one
+    smaller than the fof and one that splits it unevenly."""
+    monkeypatch.chdir(ecoli_dir)
+    outs = []
+    for b in (2, 4, 96):
+        out_path = str(tmp_path / f"hits{b}.gz")
+        with GzTextWriter(out_path) as out:
+            engine.query_fof_whole(ecoli_index_s10, "file_of_file.txt", out,
+                                   batch=b)
+        outs.append(_read_gz_text(out_path))
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0] == _read_gz_text(fixtures / "hits_s10_j0.gz")
