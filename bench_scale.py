@@ -330,8 +330,13 @@ def bench_matrix(n: int, length: int, s15: bool = False, seed: int = 7):
     B = min(bcount.MATRIX_BLOCK, Gp)
     cap = min(Gp, int(os.environ.get("NIQKI_TPU_MATRIX_CAP", "1024")))
     xpw = jnp.concatenate([xp[:p.W] ^ np.uint32(1), xp[p.W:]], 0)
+    # mirror engine._query_matrix_selfjoin's interpret routing so the
+    # warmup compiles the same jit signature the timed sweep uses
+    # (ADVICE r4: on a CPU backend the non-interpret Pallas kernel is a
+    # different — likely unlowerable — signature)
+    interp = jax.devices()[0].platform != "tpu"
     jax.block_until_ready(bcount._self_join_topk(
-        xpw, 0, p.min_score, B=B, cap=cap))
+        xpw, 0, p.min_score, B=B, cap=cap, interpret=interp))
     del xpw
 
     out_path = os.path.join(tempfile.gettempdir(), f"matrix_{tag}.gz")

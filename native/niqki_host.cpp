@@ -1439,7 +1439,65 @@ int64_t nq_pack_bitplanes(const int32_t* mat, int64_t N, int64_t F,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// One-shot gzip MEMBER compression for io.writers.GzTextWriter: each 4 MiB
+// text block becomes an independent gzip member, so libdeflate's one-shot
+// compressor (~2-4x zlib's streaming deflate at comparable ratios) fits
+// exactly — no streaming state to carry. Parity is on DECOMPRESSED bytes
+// (the reference's zstr::ofstream writes one zlib-6 member; any valid gzip
+// stream with identical inflated bytes satisfies the contract). Falls back
+// to zlib when libdeflate is absent at build time. Thread-safe: the
+// compressor is thread_local per (thread, level) — GzTextWriter deflates
+// members on a pool. Returns compressed size, or -1 when out_cap is too
+// small (callers size out with nq_gzip_bound), or -2 on allocation failure.
+int64_t nq_gzip_bound(int64_t n, int64_t level) {
+#ifdef NQ_HAVE_LIBDEFLATE
+  thread_local libdeflate_compressor* c = nullptr;
+  thread_local int64_t c_level = -1;
+  if (c == nullptr || c_level != level) {
+    if (c) libdeflate_free_compressor(c);
+    c = libdeflate_alloc_compressor((int)level);
+    c_level = level;
+  }
+  if (c) return (int64_t)libdeflate_gzip_compress_bound(c, (size_t)n);
+#endif
+  (void)level;
+  return (int64_t)compressBound((uLong)n) + 32;  // +gzip header/trailer slack
+}
+
+int64_t nq_gzip_member(const uint8_t* data, int64_t n, int64_t level,
+                       uint8_t* out, int64_t out_cap) {
+#ifdef NQ_HAVE_LIBDEFLATE
+  thread_local libdeflate_compressor* c = nullptr;
+  thread_local int64_t c_level = -1;
+  if (c == nullptr || c_level != level) {
+    if (c) libdeflate_free_compressor(c);
+    c = libdeflate_alloc_compressor((int)level);
+    c_level = level;
+  }
+  if (c) {
+    const size_t m = libdeflate_gzip_compress(c, data, (size_t)n, out,
+                                              (size_t)out_cap);
+    return m == 0 ? -1 : (int64_t)m;
+  }
+#endif
+  // zlib fallback: one gzip member via deflateInit2(windowBits=31)
+  z_stream zs;
+  std::memset(&zs, 0, sizeof zs);
+  if (deflateInit2(&zs, (int)(level > 9 ? 9 : level), Z_DEFLATED, 31, 8,
+                   Z_DEFAULT_STRATEGY) != Z_OK)
+    return -2;
+  zs.next_in = const_cast<Bytef*>(data);
+  zs.avail_in = (uInt)n;
+  zs.next_out = out;
+  zs.avail_out = (uInt)out_cap;
+  const int r = deflate(&zs, Z_FINISH);
+  const int64_t written = (int64_t)zs.total_out;
+  deflateEnd(&zs);
+  return r == Z_STREAM_END ? written : -1;
+}
+
 // Version tag so the Python wrapper can detect ABI drift.
-int64_t nq_abi_version() { return 9; }
+int64_t nq_abi_version() { return 10; }
 
 }  // extern "C"

@@ -245,6 +245,220 @@ def _query_matrix_selfjoin_mesh(index: SketchIndex, out: GzTextWriter,
     return True
 
 
+class _ParallelMatrixFmt:
+    """Row-chunked parallel front for native.MatrixFormatter: the C++
+    formatter releases the GIL, and at G=102400 one 768-row block is
+    ~190 MB of row text that formats at ~640 MB/s single-core — serialized
+    in the sweep loop it was half the host wall. Each worker owns its own
+    formatter (the native _FmtBuf output buffer is not shareable); chunks
+    write to ``out`` strictly in row order."""
+
+    def __init__(self, names, F: int, min_score: int, threads: int = 4):
+        from . import native
+        self._fmts = [native.MatrixFormatter(names, F, min_score)
+                      for _ in range(threads)]
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(threads)
+        self.min_score = min_score
+
+    def write_sparse(self, out, vals, idx, row0: int) -> None:
+        n = len(vals)
+        if n <= 96:
+            out.write(self._fmts[0].format_sparse(vals, idx, row0))
+            return
+        k = len(self._fmts)
+        chunk = -(-n // k)
+        futs = [self._pool.submit(self._fmts[t].format_sparse,
+                                  vals[t * chunk:(t + 1) * chunk],
+                                  idx[t * chunk:(t + 1) * chunk],
+                                  row0 + t * chunk)
+                for t in range(k) if t * chunk < n]
+        for f in futs:
+            out.write(f.result())
+
+    def write_dense(self, out, counts, row0: int) -> None:
+        n = len(counts)
+        if n <= 96:
+            out.write(self._fmts[0].format_dense(counts, row0))
+            return
+        k = len(self._fmts)
+        chunk = -(-n // k)
+        futs = [self._pool.submit(self._fmts[t].format_dense,
+                                  counts[t * chunk:(t + 1) * chunk],
+                                  row0 + t * chunk)
+                for t in range(k) if t * chunk < n]
+        for f in futs:
+            out.write(f.result())
+
+    def close(self):
+        self._pool.shutdown()
+
+
+def _query_matrix_selfjoin_sym(index: SketchIndex, out: GzTextWriter,
+                               xp, interp: bool) -> None:
+    """Symmetric (triangular) all-vs-all sweep — each unordered pair is
+    counted ON DEVICE exactly once and the strictly-lower half is recovered
+    by HOST-side mirroring (equality counts are symmetric: counts[a,b] ==
+    counts[b,a], and the uint16 wrap preserves that).
+
+    Per block i of B rows, the device counts rows [iB, iB+B) only against
+    the column window [iB, iB+wB) (ops.bcount._self_join_window_topk; w is
+    the remaining block count quantized up to a NIQKI_TPU_MATRIX_QB
+    multiple so the sweep compiles O(N/QB) shapes, padding columns are
+    never-matching rows). Survivors ship compacted; the host then
+    1) extracts each survivor (r, g) with g >= (i+1)B as a MIRROR entry
+       (row g, col r) pending for block g//B, and
+    2) emits block i's rows by merging its pending mirrors (all cols < iB,
+       contributed by earlier blocks) with its shipped window survivors
+       (cols >= iB; the diagonal tile carries both orientations of
+       within-block pairs directly, so no within-block mirroring).
+
+    Rows whose shipped top-k overflowed its cap re-fetch dense per
+    BLOCK_Q sub-block (not per 768-row block — VERDICT r4 item 4), print
+    dense, and rebuild their mirror contributions from the dense row
+    (their shipped survivor set was truncated, so later rows would
+    otherwise miss mirrors). Byte-identical with the full-sweep and dense
+    paths (tests/test_matrix_selfjoin.py); replaces the reference's full
+    G x G query_range sweep (/root/reference/src/niqki_index.cpp:570-610).
+    Measured motivation (tools/matrix_probe.py at G=102400/lF=12): kern
+    90 + top_k 120 + survivor-d2h 160 ms per full-width block — all three
+    scale with the window, so the device chain halves over the sweep."""
+    import numpy as np
+    from . import native
+    from .ops import bcount
+    p = index.params
+    min_score = p.min_score
+    G, Gp = index.G, xp.shape[1]
+    B = min(int(os.environ.get("NIQKI_TPU_MATRIX_BLOCK",
+                               bcount.MATRIX_BLOCK)), Gp)
+    QB = max(1, int(os.environ.get("NIQKI_TPU_MATRIX_QB", "8")))
+    N = -(-Gp // B)
+    cap = min(Gp, int(os.environ.get("NIQKI_TPU_MATRIX_CAP", "1024")))
+    Gtot = (N + QB - 1) * B
+    xpe = bcount.extend_planes(xp, Gtot - Gp)
+    widths = [min(N, -(-(N - i) // QB) * QB) for i in range(N)]
+    fmt = _ParallelMatrixFmt(index.names, p.F, min_score)
+    sfmt = native.MatrixFormatter(index.names, p.F, min_score)
+    # pending[j]: mirror entries for block j — (global rows, cols, vals)
+    pending: list[list] = [[] for _ in range(N)]
+    asm: dict = {"v": None, "g": None}
+
+    def dispatch(i):
+        return bcount._self_join_window_topk(
+            xpe, i * B, min_score, B=B, w=widths[i], cap=cap,
+            interpret=interp)
+
+    def fetch(res):
+        return np.asarray(res[0]), np.asarray(res[1])
+
+    def add_mirrors(rows_glob, cols, vals, lo):
+        """Entries (row, col) with col >= lo+B mirror to (col, row)."""
+        sel = cols >= lo + B
+        if not sel.any():
+            return
+        mr, mc, mv = cols[sel], rows_glob[sel], vals[sel]
+        jblk = mr // B
+        order = np.argsort(jblk, kind="stable")
+        mr, mc, mv, jblk = mr[order], mc[order], mv[order], jblk[order]
+        bounds = np.searchsorted(jblk, np.arange(N + 1))
+        for j in range(int(jblk[0]), int(jblk[-1]) + 1):
+            a, b = bounds[j], bounds[j + 1]
+            if a < b:
+                pending[j].append((mr[a:b], mc[a:b], mv[a:b]))
+
+    def emit(i, vals, gids):
+        lo = i * B
+        n = min(B, G - lo)
+        vals, gids = vals[:n], gids[:n]
+        cap_eff = vals.shape[1]
+        over = (vals[:, -1] >= min_score) if cap_eff < widths[i] * B \
+            else np.zeros(n, bool)
+        keep = vals >= min_score
+        dense_rows: dict[int, np.ndarray] = {}
+        if over.any():
+            keep[over] = False   # overflow rows emit + mirror from dense
+            for s in np.unique(np.nonzero(over)[0] // bcount.BLOCK_Q):
+                start = lo + int(s) * bcount.BLOCK_Q
+                d = np.asarray(bcount._self_join_dense(
+                    xpe, start, B=bcount.BLOCK_Q,
+                    interpret=interp))[:, :Gp].astype(np.int32)
+                for r in np.nonzero(over)[0]:
+                    if int(r) // bcount.BLOCK_Q == int(s):
+                        dense_rows[int(r)] = d[int(r) - int(s) * bcount.BLOCK_Q]
+            for r, drow in dense_rows.items():
+                dcols = np.nonzero(drow >= min_score)[0]
+                add_mirrors(np.full(len(dcols), lo + r), dcols,
+                            drow[dcols].astype(np.int32), lo)
+        # shipped survivors (non-overflow rows)
+        rr, kk = np.nonzero(keep)
+        s_rows, s_cols, s_vals = rr.astype(np.int64), gids[rr, kk], \
+            vals[rr, kk]
+        add_mirrors(lo + s_rows, s_cols, s_vals, lo)
+        # assemble rows: pending mirrors (cols < lo) + shipped (cols >= lo)
+        if pending[i]:
+            pr = np.concatenate([t[0] for t in pending[i]]) - lo
+            pc = np.concatenate([t[1] for t in pending[i]])
+            pv = np.concatenate([t[2] for t in pending[i]])
+            pending[i] = []
+            a_rows = np.concatenate([pr, s_rows])
+            a_cols = np.concatenate([pc, s_cols]).astype(np.int32)
+            a_vals = np.concatenate([pv, s_vals]).astype(np.int32)
+        else:
+            a_rows, a_cols, a_vals = s_rows, s_cols.astype(np.int32), \
+                s_vals.astype(np.int32)
+        order = np.argsort(a_rows, kind="stable")
+        a_rows, a_cols, a_vals = a_rows[order], a_cols[order], a_vals[order]
+        cnt = np.bincount(a_rows, minlength=n).astype(np.int64)
+        lmax = max(int(cnt.max()) if n else 0, 1)
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(cnt, out=starts[1:])
+        pos = np.arange(len(a_rows)) - starts[a_rows]
+        # grow-only persistent assembly buffers: a fresh np.zeros per block
+        # is ~10 MB of first-touch pages every block (hostmem pathology)
+        if asm["v"] is None or asm["v"].shape[0] < n \
+                or asm["v"].shape[1] < lmax:
+            asm["v"] = np.zeros((B, max(lmax, 2 * cap)), np.int32)
+            asm["g"] = np.zeros_like(asm["v"])
+        av = asm["v"][:n, :lmax]
+        ag = asm["g"][:n, :lmax]
+        av[:] = 0
+        ag[:] = 0
+        av[a_rows, pos] = a_vals
+        ag[a_rows, pos] = a_cols
+        if not over.any():
+            fmt.write_sparse(out, av, ag, lo)
+            return
+        # mixed emit: contiguous sparse runs + dense overflow rows, in order
+        r = 0
+        while r < n:
+            if over[r]:
+                c16 = dense_rows[r][None, :G].astype(np.uint16)
+                out.write(sfmt.format_dense(c16, lo + r))
+                r += 1
+            else:
+                e = r
+                while e < n and not over[e]:
+                    e += 1
+                fmt.write_sparse(out, av[r:e], ag[r:e], lo + r)
+                r = e
+
+    # Dispatch-ahead-by-2 with threaded d2h, like the full-sweep path: the
+    # dispatches are independent (no device state), so block i+1/i+2's
+    # kernels and block i+1's d2h ride under block i's host mirror/format.
+    from concurrent.futures import ThreadPoolExecutor
+    try:
+        with ThreadPoolExecutor(1) as fetcher:
+            inflight = [fetcher.submit(fetch, dispatch(i))
+                        for i in range(min(2, N))]
+            for i in range(N):
+                vals, gids = inflight.pop(0).result()
+                if i + 2 < N:
+                    inflight.append(fetcher.submit(fetch, dispatch(i + 2)))
+                emit(i, vals, gids)
+    finally:
+        fmt.close()
+
+
 def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> bool:
     """All-vs-all with ZERO query h2d: the queries are the index, already
     resident as bit-planes, so each block is a device-side slice->requery
@@ -270,9 +484,19 @@ def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> bool:
             index._stored(), p.W, sanitized=True)
     xp = index._device_planes
     G, Gp = index.G, xp.shape[1]
-    B = min(bcount.MATRIX_BLOCK, Gp)
-    cap = min(Gp, int(os.environ.get("NIQKI_TPU_MATRIX_CAP", "1024")))
     sparse = p.min_score > 0
+    # Sparse rows route through the SYMMETRIC triangular sweep by default
+    # (each unordered pair counted on device once, host-side mirroring):
+    # kern, top_k and survivor d2h all halve vs the full sweep.
+    # min_score == 0 keeps the full sweep — every cell prints, so the
+    # dense (B, Gp) d2h is the wall and must cross regardless of symmetry.
+    # NIQKI_TPU_MATRIX_SYM=off forces the legacy full sweep.
+    if sparse and os.environ.get("NIQKI_TPU_MATRIX_SYM", "auto") != "off":
+        _query_matrix_selfjoin_sym(index, out, xp, interp)
+        return True
+    B = min(int(os.environ.get("NIQKI_TPU_MATRIX_BLOCK",
+                               bcount.MATRIX_BLOCK)), Gp)
+    cap = min(Gp, int(os.environ.get("NIQKI_TPU_MATRIX_CAP", "1024")))
     fmt = native.MatrixFormatter(index.names, p.F, p.min_score)
 
     starts = []
@@ -323,14 +547,38 @@ def _emit_selfjoin_block(index, out, fmt, res, sparse, xp, blk, cap, interp,
     if sparse:
         vals, idx = res
         vals, idx = vals[off:off + n], idx[off:off + n]
-        if cap < Gp and (vals[:, -1] >= p.min_score).any():
-            # >= cap survivors in some row: re-fetch the block dense
-            # (correct for any survivor density, just more d2h)
-            c = np.asarray(bcount._self_join_dense(
-                xp, start, B=B, interpret=interp))[off:off + n, :G]
-            out.write(fmt.format_dense(c, lo))
-        else:
+        over = (vals[:, -1] >= p.min_score) if cap < Gp \
+            else np.zeros(n, bool)
+        if not over.any():
             out.write(fmt.format_sparse(vals, idx, lo))
+            return
+        # >= cap survivors in some row: re-fetch ONLY the BLOCK_Q
+        # sub-blocks holding overflowing rows dense (a single-row overflow
+        # used to re-count and re-ship all B rows — the r4 cliff: a
+        # clustered input with cluster size > cap would make EVERY block
+        # pay double kernel + a (B, Gp) d2h, silently), then emit sparse
+        # runs and dense rows interleaved in row order — byte-identical.
+        over_rows = np.nonzero(over)[0]
+        dense_rows: dict[int, np.ndarray] = {}
+        for s in np.unique(over_rows // bcount.BLOCK_Q):
+            want = lo + int(s) * bcount.BLOCK_Q
+            sub = max(0, min(want, Gp - bcount.BLOCK_Q))
+            d = np.asarray(bcount._self_join_dense(
+                xp, sub, B=bcount.BLOCK_Q, interpret=interp))[:, :G]
+            for r in over_rows:
+                if int(r) // bcount.BLOCK_Q == int(s):
+                    dense_rows[int(r)] = d[lo + int(r) - sub]
+        r = 0
+        while r < n:
+            if over[r]:
+                out.write(fmt.format_dense(dense_rows[r][None, :], lo + r))
+                r += 1
+            else:
+                e = r
+                while e < n and not over[e]:
+                    e += 1
+                out.write(fmt.format_sparse(vals[r:e], idx[r:e], lo + r))
+                r = e
     else:
         c = res[off:off + n, :G]
         out.write(fmt.format_dense(c, lo))

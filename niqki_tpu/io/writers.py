@@ -42,11 +42,20 @@ class GzTextWriter:
 
     BLOCK = 4 << 20
 
-    def __init__(self, path: str, level: int = 6, threads: int | None = None):
+    def __init__(self, path: str, level: int | None = None,
+                 threads: int | None = None):
         import os
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
         self.path = path
+        # Default level 6 = zlib's default, what the reference's
+        # zstr::ofstream uses; members deflate through libdeflate when the
+        # native lib is built (~2-4x the byte rate at a comparable ratio —
+        # the deflate of the G=102k matrix's ~25 GB of row text was the
+        # measured sweep wall). NIQKI_TPU_GZLEVEL overrides (1 trades ~25%
+        # output size for ~2x deflate speed on dense matrix text).
+        if level is None:
+            level = int(os.environ.get("NIQKI_TPU_GZLEVEL", "6"))
         self._level = level
         self._f = open(path, "wb")
         self._buf: list[bytes] = []
@@ -58,6 +67,10 @@ class GzTextWriter:
 
     @staticmethod
     def _member(data: bytes, level: int) -> bytes:
+        from .. import native
+        out = native.gzip_member(data, level) if native.available() else None
+        if out is not None:
+            return out
         co = zlib.compressobj(level, zlib.DEFLATED, 31)  # 31 = gzip wrapper
         return co.compress(data) + co.flush()
 
@@ -74,6 +87,12 @@ class GzTextWriter:
     def write(self, s: str | bytes) -> None:
         if isinstance(s, str):
             s = s.encode()
+        elif not isinstance(s, bytes):
+            # Coerce mutable buffers (bytearray/np views): the deflate
+            # threads read submitted slices zero-copy, so a caller mutating
+            # its buffer after write() would race them (latent — all
+            # current callers pass immutable bytes).
+            s = bytes(s)
         self._buf.append(s)
         self._size += len(s)
         if self._size >= self.BLOCK:

@@ -461,6 +461,45 @@ def _self_join_topk(xp, lo, min_score, *, B: int, cap: int,
     return _mask_topk(*jax.lax.top_k(c, cap), min_score)
 
 
+def extend_planes(xp, extra: int):
+    """Append ``extra`` never-matching stored-invalid rows (all-0 value
+    planes + all-1 sentinel) to index planes — the symmetric sweep's
+    quantized windows may read past Gp, and padding rows count 0 against
+    everything (masked out by min_score >= 1 on that path)."""
+    if extra <= 0:
+        return xp
+    P, _, L = xp.shape
+    pad_v = jnp.zeros((P - 1, extra, L), jnp.uint32)
+    pad_s = jnp.full((1, extra, L), 0xFFFFFFFF, jnp.uint32)
+    return jnp.concatenate([xp, jnp.concatenate([pad_v, pad_s], 0)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "w", "cap", "interpret"))
+def _self_join_window_topk(xp, lo, min_score, *, B: int, w: int, cap: int,
+                           interpret: bool = False):
+    """Symmetric-sweep step: counts of index rows [lo, lo+B) against the
+    UPPER-TRIANGLE column window [lo, lo+w*B) of the extended planes only
+    — the strictly-lower tiles are recovered host-side by mirroring
+    (counts[a, b] == counts[b, a]; equality counts are symmetric), so each
+    unordered pair is computed exactly once and the per-dispatch kernel,
+    top_k, and survivor d2h all scale with the window instead of the full
+    Gp (measured at G=102400/lF=12: kern 90 + top_k 120 + d2h 160 ms per
+    full-width block — every term halves over the sweep). Returns (vals,
+    gids) (B, min(cap, w*B)) int32 wrapped counts with GLOBAL gids,
+    sub-min_score entries masked to (0, 0) on device. The reference's own
+    sweep is the full G x G query_range loop
+    (/root/reference/src/niqki_index.cpp:570-610)."""
+    P = xp.shape[0]
+    qp = _planes_as_queries(xp, lo, B)
+    xwin = jax.lax.dynamic_slice(xp, (0, lo, 0), (P, w * B, xp.shape[2]))
+    outs = [_bcount_call(qp[:, o:o + BLOCK_Q], xwin, interpret=interpret)
+            for o in range(0, B, BLOCK_Q)]
+    c = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0))
+    c = c & 0xFFFF   # reference uint16 counters (niqki_index.cpp:572)
+    vals, pos = jax.lax.top_k(c, min(cap, w * B))
+    return _mask_topk(vals, lo + pos, min_score)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "interpret"))
 def _self_join_dense(xp, lo, *, B: int, interpret: bool = False):
     """Dense variant: (B, Gp) uint16 wrapped counts (min_score == 0 rows
