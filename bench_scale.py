@@ -335,8 +335,22 @@ def bench_matrix(n: int, length: int, s15: bool = False, seed: int = 7):
     # (ADVICE r4: on a CPU backend the non-interpret Pallas kernel is a
     # different — likely unlowerable — signature)
     interp = jax.devices()[0].platform != "tpu"
-    jax.block_until_ready(bcount._self_join_topk(
-        xpw, 0, p.min_score, B=B, cap=cap, interpret=interp))
+    if p.min_score > 0 and os.environ.get("NIQKI_TPU_MATRIX_SYM",
+                                          "auto") != "off":
+        # warm the symmetric sweep's WIDEST window shape (the dominant
+        # compile; narrower quantized widths compile during the sweep and
+        # amortize over reruns via the persistent compile cache)
+        QB = max(1, int(os.environ.get("NIQKI_TPU_MATRIX_QB", "8")))
+        N = -(-Gp // B)
+        Gtot = (N + QB - 1) * B
+        xpe = bcount.extend_planes(xpw, Gtot - Gp)
+        jax.block_until_ready(bcount._self_join_window_topk(
+            xpe, 0, p.min_score, B=B, w=min(N, -(-N // QB) * QB), cap=cap,
+            interpret=interp))
+        del xpe
+    else:
+        jax.block_until_ready(bcount._self_join_topk(
+            xpw, 0, p.min_score, B=B, cap=cap, interpret=interp))
     del xpw
 
     out_path = os.path.join(tempfile.gettempdir(), f"matrix_{tag}.gz")

@@ -13,11 +13,7 @@ Each accession URL <base> resolves to <base>/<name>_genomic.fna.gz where
 from __future__ import annotations
 
 import concurrent.futures as cf
-import gzip
-import io
 import urllib.request
-
-import numpy as np
 
 from .index import SketchIndex
 
@@ -35,26 +31,65 @@ def name_of_accession_url(url: str) -> str:
     return url[last + 1:]
 
 
-def _fetch_records(url: str, K: int, timeout: float):
-    """Contigs of one accession, with the reference Download_NCBI's exact
-    flush quirks (src/niqki_index.cpp:810-827): a contig is only flushed
-    when the NEXT '>' line is seen, so the final contig is always dropped;
-    and a contig of length <= K is NOT cleared — its bases prepend the next
-    contig. (Unreachable in the zero-egress test env; kept bit-faithful for
-    the -Iddl differential in tests/test_downloader.py.)"""
+def _iter_contigs(url: str, K: int, timeout: float, stats: dict):
+    """STREAMING contigs of one accession — the decode is incremental
+    (zlib.decompressobj over response chunks, multi-member aware), so RSS
+    stays O(contig) like the reference's wget|gzip -d pipe
+    (src/niqki_index.cpp:802-837) instead of buffering the whole
+    compressed asset (+ its inflation) in RAM. Reference Download_NCBI's
+    exact flush quirks are kept (src/niqki_index.cpp:810-827): a contig is
+    only flushed when the NEXT '>' line is seen, so the final contig is
+    always dropped; and a contig of length <= K is NOT cleared — its bases
+    prepend the next contig. (Live NCBI is unreachable in the zero-egress
+    test env; behavior is pinned by the loopback-HTTP differential in
+    tests/test_downloader_diff.py.) ``stats['bases']`` accumulates flushed
+    bases for the caller's progress counter."""
+    import zlib
     full = f"{url}/{name_of_accession_url(url)}_genomic.fna.gz"
     with urllib.request.urlopen(full, timeout=timeout) as resp:
-        raw = resp.read()
-    f = io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(raw)))
-    seqs = []
-    sequence = b""
-    for line in f:
-        if not line.startswith(b">"):
-            sequence += line.rstrip(b"\n")
-        elif len(sequence) > K:
-            seqs.append(sequence)
-            sequence = b""
-    return seqs, sum(len(s) for s in seqs)
+        d = zlib.decompressobj(31)          # gzip wrapper
+        sequence = bytearray()
+        tail = b""
+
+        def lines_of(data):
+            nonlocal tail
+            buf = tail + data if tail else data
+            parts = buf.split(b"\n")
+            tail = parts.pop()
+            return parts
+
+        def handle(line):
+            nonlocal sequence
+            if not line.startswith(b">"):
+                sequence += line
+                return None
+            if len(sequence) > K:
+                out = bytes(sequence)
+                sequence = bytearray()
+                stats["bases"] += len(out)
+                return out
+            return None
+
+        while True:
+            chunk = resp.read(1 << 18)
+            if not chunk:
+                break
+            pieces = []
+            while chunk:
+                if d.eof:                   # next gzip member (or garbage,
+                    d = zlib.decompressobj(31)  # which raises like GzipFile)
+                pieces.append(d.decompress(chunk))
+                chunk = d.unused_data
+            for line in lines_of(b"".join(pieces)):
+                c = handle(line)
+                if c is not None:
+                    yield c
+        if tail:                            # final line without '\n'
+            c = handle(tail)
+            if c is not None:
+                yield c
+        # the final contig (and any trailing <= K carry) is dropped —
+        # reference quirk: flushed only on the next '>' line
 
 
 def download_ncbi_fof(index: SketchIndex, fof_path: str,
@@ -69,17 +104,24 @@ def download_ncbi_fof(index: SketchIndex, fof_path: str,
     K = index.params.K
 
     def work(url):
+        """Stream-decode + sketch one accession INSIDE the worker: contigs
+        min-merge into the sketch as they arrive (sketch_records iterates
+        the generator), so worker RSS is O(contig) — download of the next
+        chunk overlaps sketching of the last. Insertion order stays fof
+        order on the caller's thread (deterministic ids)."""
         try:
-            return url, _fetch_records(url, K, timeout)
+            stats = {"bases": 0}
+            sketch = index.sketch_records(_iter_contigs(url, K, timeout,
+                                                        stats))
+            return url, (sketch, stats["bases"])
         except Exception:
             return url, None
 
     with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
         for url, result in pool.map(work, urls):
-            if not result or not result[0]:
+            if not result or not result[1]:
                 continue
-            seqs, total = result
-            sketch = index.sketch_records(seqs)
+            sketch, total = result
             index.insert_sketch(sketch, url)
             genomes += 1
             bases += total

@@ -82,13 +82,36 @@ def test_iddl_differential_loopback(ref_binary, http_root, tmp_path):
     # acc4 exists but is referenced with a trailing slash in the fof: the
     # get_name_ncbi quirk keeps the slash, the fetch 404s, both skip it
     _put_assembly(www, "GCA_0004", [seq(600), seq(600)])
+    # acc5: multi-MB asset with 80-column line wrapping — exercises the
+    # STREAMING decode (zlib.decompressobj over response chunks, contig
+    # accumulation across ~44k partial lines; the pre-r5 fetch buffered
+    # the whole compressed asset + its inflation in RAM). EXACTLY ONE
+    # flushed contig: an accession with >= 2 flushed contigs re-runs the
+    # reference's compute_sketch on the same sketch vector, which is its
+    # documented multi-record densify infinite-loop (it hangs the binary
+    # here too — measured; the same divergence README documents for
+    # whole-file mode, where we min-merge instead).
+    def wrap(s):
+        return b"\n".join(s[i:i + 80] for i in range(0, len(s), 80))
+    _put_assembly(www, "GCA_0005", [wrap(seq(3_500_000)), seq(300)])
+    # acc6: MULTI-MEMBER gzip (two concatenated members, like bgzip or a
+    # re-chunked mirror) with the member boundary mid-contig —
+    # wget|gzip -d inflates both; so must the incremental decoder
+    d6 = www / "GCA_0006"
+    d6.mkdir()
+    full6 = b">GCA_0006_c0 d\n%s\n>GCA_0006_c1 d\n%s\n" % (wrap(seq(5000)),
+                                                           seq(400))
+    (d6 / "GCA_0006_genomic.fna.gz").write_bytes(
+        gzip.compress(full6[:2000]) + gzip.compress(full6[2000:]))
 
     fof = tmp_path / "dl_fof.txt"
     fof.write_text(
         f"{base}/GCA_0001\n"
         f"{base}/GCA_0002\n"
         f"{base}/GCA_0003\n"
-        f"{base}/GCA_0004/\n")
+        f"{base}/GCA_0004/\n"
+        f"{base}/GCA_0005\n"
+        f"{base}/GCA_0006\n")
 
     # reference: single OpenMP thread -> deterministic fof insert order
     ref_dump = tmp_path / "ref_dump.bin"
@@ -105,7 +128,7 @@ def test_iddl_differential_loopback(ref_binary, http_root, tmp_path):
     idx = SketchIndex(SketchParams(lF=10))
     genomes, bases = downloader.download_ncbi_fof(idx, str(fof),
                                                   max_workers=1)
-    assert genomes == 2            # acc1 + acc2; acc3/acc4 skipped
+    assert genomes == 4   # acc1 + acc2 + acc5 + acc6; acc3/acc4 skipped
     our_dump = tmp_path / "our_dump.bin"
     idx.dump(str(our_dump))
 

@@ -79,6 +79,42 @@ def test_selfjoin_topk_overflow_falls_back_dense(tmp_path, monkeypatch):
     assert got == want
 
 
+def test_sym_sweep_multiblock_mirrors(tmp_path, monkeypatch):
+    """The symmetric triangular sweep (engine._query_matrix_selfjoin_sym):
+    multi-block index with cross-block survivors, so lower-triangle cells
+    come from HOST-side mirrors of upper-window tiles; quantized window
+    widths (QB=2) exercise the padded-column path. Byte parity vs the
+    legacy dense loop."""
+    p = SketchParams(lF=12, K=21, min_fract=0.05)
+    rng = np.random.default_rng(44)
+    idx = SketchIndex(p)
+    anc = rng.integers(0, p.fingerprint_range, (3, p.F)).astype(np.int32)
+    for i in range(300):
+        sk = rng.integers(0, p.fingerprint_range, p.F).astype(np.int32)
+        m = rng.random(p.F) < 0.4   # clusters of 100 share 40% of slots
+        sk[m] = anc[i // 100][m]
+        if i % 7 == 0:
+            sk[rng.choice(p.F, 13, replace=False)] = -1
+        idx.insert_sketch(sk, f"g{i}")
+    monkeypatch.setenv("NIQKI_TPU_MATRIX", "dense")
+    want = _matrix_bytes(idx, tmp_path, "symd")
+    monkeypatch.setenv("NIQKI_TPU_MATRIX", "selfjoin")
+    monkeypatch.setenv("NIQKI_TPU_MATRIX_BLOCK", "128")
+    monkeypatch.setenv("NIQKI_TPU_MATRIX_QB", "2")
+    got = _matrix_bytes(idx, tmp_path, "syms")
+    assert got == want
+    # cluster size (100) > cap (16): every cluster row overflows its
+    # shipped top-k — the per-BLOCK_Q dense re-fetch must also rebuild
+    # those rows' mirror contributions (the r4 cliff: cluster > cap)
+    monkeypatch.setenv("NIQKI_TPU_MATRIX_CAP", "16")
+    got2 = _matrix_bytes(idx, tmp_path, "symo")
+    assert got2 == want
+    # legacy full sweep with the same overflow: per-sub-block re-fetch
+    monkeypatch.setenv("NIQKI_TPU_MATRIX_SYM", "off")
+    got3 = _matrix_bytes(idx, tmp_path, "symL")
+    assert got3 == want
+
+
 def test_selfjoin_golden_fixture(tmp_path, monkeypatch):
     """The S=15 ecoli golden matrix (the headline configuration, F=32768)
     reproduces byte-identically through the self-join path (min_score == 0,
