@@ -214,6 +214,65 @@ def bench_real_query(idx, tag: str, queries: int = 288):
                       "hits_total": nhits}))
 
 
+def bench_sketch_kernel(paths, p):
+    """VERDICT r5 item 2: the DEVICE sketch kernel rate with RESIDENT
+    packed input — no wire, no host decode. Every 'co-located host' claim
+    for ingest/query rests on this number (the e2e sketch_throughput
+    metric measures the HOST route, because the tunnel's ~46 MB/s h2d
+    moves the 2-bit wire slower than one host thread sketches). Fresh
+    bytes per rep via a device-side xor of the packed words (the transport
+    memoizes identical (kernel, input) executions); timing covers the
+    production batched kernel (psort path when available, int16 wire out)
+    plus the host materialization of the (B, F) tables. Reference anchor:
+    25 Mbp/s/thread (src/niqki_index.cpp:335-358, BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from niqki_tpu import native
+    from niqki_tpu.ops import sketch as sk
+    recs = []
+    for path in paths:
+        for _, w, n, e in native.read_packed_records(path, p.K):
+            recs.append((w, n, e))
+    P = max(sk.padded_size(n) for _, n, _ in recs)
+    Pw = P // 16
+    B = len(recs)
+    w = np.zeros((B, Pw), np.uint32)
+    nk = np.zeros((B,), np.int32)
+    ex = np.full((B, 8), sk.EXC_PAD, np.int32)
+    for row, (words, n, exc) in enumerate(recs):
+        w[row, :len(words)] = words
+        nk[row] = n - p.K
+        # exceptions dropped: the xor perturbation rewrites bases anyway,
+        # and an empty exception list keeps the compiled shape fixed
+    wd = jax.block_until_ready(jnp.asarray(w))
+    nkd, exd = jnp.asarray(nk), jnp.asarray(ex)
+    use_psort = sk._use_psort(p)
+    base = (sk._sketch_packed_batch_psort_impl if use_psort
+            else sk._sketch_packed_batch_impl)
+
+    def run(wr):
+        out = base(wr, nkd, exd, lF=p.lF, K=p.K, W=p.W, H=p.H,
+                   mask_M=p.mask_M, max_rem=p.maximal_remainder,
+                   to_i16=True)
+        return np.asarray(out)
+
+    perturb = jax.jit(lambda a, r: a ^ r)
+    run(wd)  # warm compile
+    total_bp = int(nk.sum())
+    best = float("inf")
+    for r in range(4):
+        wr = jax.block_until_ready(perturb(wd, jnp.uint32(r + 1)))
+        t0 = time.time()
+        run(wr)
+        best = min(best, time.time() - t0)
+    mbps = total_bp / best / 1e6
+    print(json.dumps({"metric": "sketch_kernel_mbps",
+                      "value": round(mbps, 1), "unit": "Mbp/s",
+                      "batch_records": B, "batch_mbp": round(total_bp / 1e6, 1),
+                      "psort": bool(use_psort),
+                      "vs_baseline_1thread": round(mbps / 25.0, 1)}))
+
+
 def bench_ingest_e2e(n: int, length: int, s15: bool = False):
     """VERDICT item 7 (+ r2 item 4): a REAL n-genome ingest through the
     production pipeline (gzip -> native parse/pack -> device sketch ->
@@ -335,8 +394,10 @@ def bench_matrix(n: int, length: int, s15: bool = False, seed: int = 7):
     # (ADVICE r4: on a CPU backend the non-interpret Pallas kernel is a
     # different — likely unlowerable — signature)
     interp = jax.devices()[0].platform != "tpu"
-    if p.min_score > 0 and os.environ.get("NIQKI_TPU_MATRIX_SYM",
-                                          "auto") != "off":
+    sym_env = os.environ.get("NIQKI_TPU_MATRIX_SYM", "auto")
+    if p.min_score > 0 and (sym_env == "on" or (
+            sym_env == "auto"
+            and "axon" not in os.environ.get("JAX_PLATFORMS", ""))):
         # warm the symmetric sweep's WIDEST window shape (the dominant
         # compile; narrower quantized widths compile during the sweep and
         # amortize over reruns via the persistent compile cache)
@@ -538,6 +599,9 @@ def main():
                       "unit": "Mbp/s",
                       "vs_baseline_1thread": round(mbps / 25.0, 1),
                       "vs_baseline_64core": round(mbps / 1600.0, 2)}))
+
+    # --- device sketch KERNEL rate (resident input, no wire) --------------
+    bench_sketch_kernel(paths, p)
 
     # --- synthetic 100k-genome index (bit-plane kernel, the auto route) ---
     from niqki_tpu.ops import bcount

@@ -31,6 +31,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <algorithm>
+#include <chrono>
 #include <cstring>
 #include <new>
 #include <string>
@@ -797,6 +798,10 @@ static inline void hash_min_block(const uint64_t* canon, int64_t m,
                                (uint32_t)(h & mask_M));
   }
   for (int64_t i = 0; i < m; ++i) {  // (C) min-scatter
+    // the table exceeds L1 from lF=13 up (the golden S=15 table is
+    // 128 KiB); prefetching the random line ~24 iterations ahead hides
+    // most of the L2 latency the OoO window alone can't cover
+    if (i + 24 < m) __builtin_prefetch(&table[slot[i + 24]], 1, 3);
     const int32_t f = (int32_t)fp[i];
     if (f < table[slot[i]]) table[slot[i]] = f;
   }
@@ -827,9 +832,70 @@ static void sketch_packed_range(const uint32_t* w, const int32_t* exc,
   const uint64_t mask_M = (uint64_t)mask_M_in;
   const uint64_t mask2K = (2 * K < 64) ? ((1ULL << (2 * K)) - 1) : ~0ULL;
   const int rc_top = (int)(2 * (K - 1));
-  const int32_t* ep = std::lower_bound(exc, exc_end, (int32_t)win_lo);
+  uint64_t canon[kSketchBlock];
+
+  // (A') 4 INDEPENDENT rolling chains over 4 contiguous quarter-ranges,
+  // advanced in lockstep: the single-chain roll is latency-bound on the
+  // fwd shift|or|mask dependency (~4.5 cycles/window measured via
+  // nq_sketch_stage_bench); four chains fill the out-of-order window and
+  // cut stage A ~2x. Table min-merge commutes, so window ORDER is free —
+  // the same property the mt window splitter already relies on — and the
+  // result stays bit-identical with the sequential roll. Short ranges
+  // (< 4 blocks, e.g. lines-mode reads) keep the plain chain below.
+  int64_t lo = win_lo;
+  const int64_t total = win_hi - win_lo;
+  if (total >= 4 * kSketchBlock) {
+    const int64_t Q = total / 4;        // windows per chain
+    uint64_t fwd4[4], rc4[4];
+    const int32_t* ep4[4];
+    int64_t at4[4];                     // next window index per chain
+    for (int q = 0; q < 4; ++q) {
+      const int64_t s = win_lo + q * Q;
+      ep4[q] = std::lower_bound(exc, exc_end, (int32_t)s);
+      at4[q] = s;
+      uint64_t fwd = 0, rc = 0;
+      for (int64_t j = s; j < s + K - 1; ++j) {
+        const uint32_t c = (w[j >> 4] >> (2 * (j & 15))) & 3u;
+        uint32_t rcc = 3u - c;
+        if (ep4[q] != exc_end && *ep4[q] == j) {
+          rcc = 0;
+          ++ep4[q];
+        }
+        fwd = (fwd << 2) | c;
+        rc = (rc >> 2) | ((uint64_t)rcc << rc_top);
+      }
+      fwd4[q] = fwd;
+      rc4[q] = rc;
+    }
+    const int64_t bq = kSketchBlock / 4;
+    for (int64_t done = 0; done < Q; done += bq) {
+      const int64_t m = (Q - done < bq) ? Q - done : bq;
+      for (int64_t i = 0; i < m; ++i) {
+        for (int q = 0; q < 4; ++q) {   // unrolled: 4 independent chains
+          const int64_t pos = at4[q] + i + K - 1;
+          const uint32_t c = (w[pos >> 4] >> (2 * (pos & 15))) & 3u;
+          uint32_t rcc = 3u - c;
+          if (ep4[q] != exc_end && *ep4[q] == pos) {
+            rcc = 0;
+            ++ep4[q];
+          }
+          const uint64_t f = ((fwd4[q] << 2) | c) & mask2K;
+          const uint64_t r = (rc4[q] >> 2) | ((uint64_t)rcc << rc_top);
+          fwd4[q] = f;
+          rc4[q] = r;
+          canon[4 * i + q] = f < r ? f : r;
+        }
+      }
+      for (int q = 0; q < 4; ++q) at4[q] += m;
+      hash_min_block(canon, 4 * m, lF, M, max_rem, mask_M, table);
+    }
+    lo = win_lo + 4 * Q;                // remainder (< 4) windows
+    if (lo >= win_hi) return;
+  }
+
+  const int32_t* ep = std::lower_bound(exc, exc_end, (int32_t)lo);
   uint64_t fwd = 0, rc = 0;
-  for (int64_t j = win_lo; j < win_lo + K - 1; ++j) {
+  for (int64_t j = lo; j < lo + K - 1; ++j) {
     const uint32_t c = (w[j >> 4] >> (2 * (j & 15))) & 3u;
     uint32_t rcc = 3u - c;
     if (ep != exc_end && *ep == j) {
@@ -839,8 +905,7 @@ static void sketch_packed_range(const uint32_t* w, const int32_t* exc,
     fwd = (fwd << 2) | c;
     rc = (rc >> 2) | ((uint64_t)rcc << rc_top);
   }
-  uint64_t canon[kSketchBlock];
-  for (int64_t blo = win_lo; blo < win_hi; blo += kSketchBlock) {
+  for (int64_t blo = lo; blo < win_hi; blo += kSketchBlock) {
     const int64_t m = (win_hi - blo < kSketchBlock) ? win_hi - blo
                                                     : kSketchBlock;
     for (int64_t i = 0; i < m; ++i) {  // (A) roll from packed words
@@ -1440,6 +1505,99 @@ int64_t nq_pack_bitplanes(const int32_t* mat, int64_t N, int64_t F,
 }
 
 // ---------------------------------------------------------------------------
+// Per-stage throughput probe for the staged sketcher (tools/
+// sketch_stage_probe.py): times, over one packed record, (A) the
+// sequential canonical roll alone, (A+B) roll + the vectorized
+// hash/fingerprint/slot stage without the table, and the full production
+// sketch_packed_range (A+B+C min-scatter). The A and A+B loops are local
+// copies of the production stages (same code shape, results accumulated
+// into a sink so nothing dead-code-eliminates); the full number IS the
+// production path. Returns 0; out_ns[0..2] = ns/window for A, A+B, full.
+int64_t nq_sketch_stage_bench(const uint32_t* w, int64_t n_bases, int64_t K,
+                              int64_t lF, int64_t W, int64_t H,
+                              int64_t mask_M_in, int64_t max_rem_in,
+                              int64_t reps, double* out_ns) {
+  const int64_t nk = n_bases - K;
+  if (nk <= 0 || reps < 1) return -1;
+  const int M = (int)(W - H);
+  const uint64_t mask_M = (uint64_t)mask_M_in;
+  const uint64_t mask2K = (2 * K < 64) ? ((1ULL << (2 * K)) - 1) : ~0ULL;
+  const int rc_top = (int)(2 * (K - 1));
+  const int64_t F = 1LL << lF;
+  std::vector<int32_t> table((size_t)F);
+  volatile uint64_t sink = 0;
+  using clk = std::chrono::steady_clock;
+
+  // (A) roll only
+  auto t0 = clk::now();
+  for (int64_t rep = 0; rep < reps; ++rep) {
+    uint64_t fwd = 0, rc = 0, acc = 0;
+    for (int64_t j = 0; j < K - 1; ++j) {
+      const uint32_t c = (w[j >> 4] >> (2 * (j & 15))) & 3u;
+      fwd = (fwd << 2) | c;
+      rc = (rc >> 2) | ((uint64_t)(3u - c) << rc_top);
+    }
+    for (int64_t i = 0; i < nk; ++i) {
+      const int64_t pos = i + K - 1;
+      const uint32_t c = (w[pos >> 4] >> (2 * (pos & 15))) & 3u;
+      fwd = ((fwd << 2) | c) & mask2K;
+      rc = (rc >> 2) | ((uint64_t)(3u - c) << rc_top);
+      acc += fwd < rc ? fwd : rc;
+    }
+    sink += acc;
+  }
+  out_ns[0] = std::chrono::duration<double, std::nano>(clk::now() - t0)
+                  .count() / (double)(reps * nk);
+
+  // (A+B) roll + hash/fingerprint/slot, no table access
+  t0 = clk::now();
+  for (int64_t rep = 0; rep < reps; ++rep) {
+    uint64_t fwd = 0, rc = 0;
+    for (int64_t j = 0; j < K - 1; ++j) {
+      const uint32_t c = (w[j >> 4] >> (2 * (j & 15))) & 3u;
+      fwd = (fwd << 2) | c;
+      rc = (rc >> 2) | ((uint64_t)(3u - c) << rc_top);
+    }
+    uint64_t canon[kSketchBlock];
+    uint64_t acc = 0;
+    for (int64_t blo = 0; blo < nk; blo += kSketchBlock) {
+      const int64_t m = (nk - blo < kSketchBlock) ? nk - blo : kSketchBlock;
+      for (int64_t i = 0; i < m; ++i) {
+        const int64_t pos = blo + i + K - 1;
+        const uint32_t c = (w[pos >> 4] >> (2 * (pos & 15))) & 3u;
+        fwd = ((fwd << 2) | c) & mask2K;
+        rc = (rc >> 2) | ((uint64_t)(3u - c) << rc_top);
+        canon[i] = fwd < rc ? fwd : rc;
+      }
+      for (int64_t i = 0; i < m; ++i) {  // (B) without (C)
+        const uint64_t h = revhash64(canon[i]);
+        const uint64_t slot = unrevhash64(canon[i]) >> (64 - lF);
+        int64_t rem = max_rem_in - clz64(h);
+        rem = rem < 0 ? 0 : rem;
+        acc ^= slot + (uint64_t)(uint32_t)((uint32_t)(rem << M) +
+                                           (uint32_t)(h & mask_M));
+      }
+    }
+    sink += acc;
+  }
+  out_ns[1] = std::chrono::duration<double, std::nano>(clk::now() - t0)
+                  .count() / (double)(reps * nk);
+
+  // full production path (A+B+C)
+  t0 = clk::now();
+  static const int32_t no_exc = 0;
+  for (int64_t rep = 0; rep < reps; ++rep) {
+    std::fill(table.begin(), table.end(), INT32_MAX);
+    sketch_packed_range(w, &no_exc, &no_exc, 0, nk, K, lF, W, H,
+                        mask_M_in, max_rem_in, table.data());
+    sink += (uint64_t)table[0];
+  }
+  out_ns[2] = std::chrono::duration<double, std::nano>(clk::now() - t0)
+                  .count() / (double)(reps * nk);
+  return (int64_t)(sink & 1);
+}
+
+// ---------------------------------------------------------------------------
 // One-shot gzip MEMBER compression for io.writers.GzTextWriter: each 4 MiB
 // text block becomes an independent gzip member, so libdeflate's one-shot
 // compressor (~2-4x zlib's streaming deflate at comparable ratios) fits
@@ -1498,6 +1656,6 @@ int64_t nq_gzip_member(const uint8_t* data, int64_t n, int64_t level,
 }
 
 // Version tag so the Python wrapper can detect ABI drift.
-int64_t nq_abi_version() { return 10; }
+int64_t nq_abi_version() { return 11; }
 
 }  // extern "C"

@@ -445,18 +445,34 @@ def _query_matrix_selfjoin_sym(index: SketchIndex, out: GzTextWriter,
     # Dispatch-ahead-by-2 with threaded d2h, like the full-sweep path: the
     # dispatches are independent (no device state), so block i+1/i+2's
     # kernels and block i+1's d2h ride under block i's host mirror/format.
+    import time as _time
+    stats = {"wait": 0.0, "emit": 0.0, "disp": 0.0}
+    t_start = _time.time()
     from concurrent.futures import ThreadPoolExecutor
     try:
         with ThreadPoolExecutor(1) as fetcher:
             inflight = [fetcher.submit(fetch, dispatch(i))
                         for i in range(min(2, N))]
             for i in range(N):
+                t0 = _time.time()
                 vals, gids = inflight.pop(0).result()
+                stats["wait"] += _time.time() - t0
                 if i + 2 < N:
-                    inflight.append(fetcher.submit(fetch, dispatch(i + 2)))
+                    t0 = _time.time()
+                    d = dispatch(i + 2)
+                    stats["disp"] += _time.time() - t0
+                    inflight.append(fetcher.submit(fetch, d))
+                t0 = _time.time()
                 emit(i, vals, gids)
+                stats["emit"] += _time.time() - t0
     finally:
         fmt.close()
+    if os.environ.get("NIQKI_TPU_MATRIX_STATS"):
+        import sys
+        print(f"sym sweep: N={N} total {_time.time() - t_start:.1f}s "
+              f"device-wait {stats['wait']:.1f}s "
+              f"dispatch {stats['disp']:.1f}s emit {stats['emit']:.1f}s",
+              file=sys.stderr, flush=True)
 
 
 def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> bool:
@@ -485,19 +501,33 @@ def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> bool:
     xp = index._device_planes
     G, Gp = index.G, xp.shape[1]
     sparse = p.min_score > 0
-    # Sparse rows route through the SYMMETRIC triangular sweep by default
-    # (each unordered pair counted on device once, host-side mirroring):
-    # kern, top_k and survivor d2h all halve vs the full sweep.
-    # min_score == 0 keeps the full sweep — every cell prints, so the
-    # dense (B, Gp) d2h is the wall and must cross regardless of symmetry.
-    # NIQKI_TPU_MATRIX_SYM=off forces the legacy full sweep.
-    if sparse and os.environ.get("NIQKI_TPU_MATRIX_SYM", "auto") != "off":
+    # Sparse rows can route through the SYMMETRIC triangular sweep (each
+    # unordered pair counted on device once, host-side mirroring): kern,
+    # top_k and survivor d2h all halve vs the full sweep. MEASURED VERDICT
+    # (G=102400/lF=12, same-weather A/B, 2026-08): on the remote tunnel
+    # transport the full sweep wins 1,501 vs 767 rows/s — every dispatch
+    # pays a fixed ~190 ms transport cost regardless of window width, and
+    # the sweep's ~17 quantized-width executables add switching stalls, so
+    # halved device work loses to 1 executable + full-width dispatches.
+    # auto therefore takes sym only OFF the tunnel (a co-located host has
+    # no per-dispatch RPC tax; CPU tests exercise it); NIQKI_TPU_MATRIX_
+    # SYM=on|off overrides either way. min_score == 0 always keeps the
+    # full sweep — every cell prints, so the dense (B, Gp) d2h must cross
+    # regardless of symmetry.
+    sym = os.environ.get("NIQKI_TPU_MATRIX_SYM", "auto")
+    if sparse and (sym == "on" or (
+            sym == "auto"
+            and "axon" not in os.environ.get("JAX_PLATFORMS", ""))):
         _query_matrix_selfjoin_sym(index, out, xp, interp)
         return True
     B = min(int(os.environ.get("NIQKI_TPU_MATRIX_BLOCK",
                                bcount.MATRIX_BLOCK)), Gp)
     cap = min(Gp, int(os.environ.get("NIQKI_TPU_MATRIX_CAP", "1024")))
     fmt = native.MatrixFormatter(index.names, p.F, p.min_score)
+    # parallel row-chunked formatting (the C++ formatter releases the GIL;
+    # one 768-row block is ~190 MB of text at G=102k formatting at ~640
+    # MB/s single-core — serialized it was half the host wall)
+    pfmt = _ParallelMatrixFmt(index.names, p.F, p.min_score)
 
     starts = []
     for lo in range(0, G, B):
@@ -523,21 +553,40 @@ def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> bool:
     # block i+1's device->host transfer run while block i's survivors
     # format on the host (measured: the unoverlapped d2h was the matrix
     # wall — tools/matrix_probe.py).
+    import time as _time
+    stats = {"wait": 0.0, "emit": 0.0, "disp": 0.0}
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(1) as fetcher:
-        pending = [fetcher.submit(fetch, dispatch(i))
-                   for i in range(min(2, len(starts)))]
-        for i, (lo, start, off, n) in enumerate(starts):
-            res = pending.pop(0).result()
-            if i + 2 < len(starts):
-                pending.append(fetcher.submit(fetch, dispatch(i + 2)))
-            _emit_selfjoin_block(index, out, fmt, res, sparse, xp, starts[i],
-                                 cap, interp, B=B, G=G, Gp=Gp)
+    try:
+        with ThreadPoolExecutor(1) as fetcher:
+            pending = [fetcher.submit(fetch, dispatch(i))
+                       for i in range(min(2, len(starts)))]
+            for i, (lo, start, off, n) in enumerate(starts):
+                t0 = _time.time()
+                res = pending.pop(0).result()
+                stats["wait"] += _time.time() - t0
+                if i + 2 < len(starts):
+                    t0 = _time.time()
+                    d = dispatch(i + 2)
+                    stats["disp"] += _time.time() - t0
+                    pending.append(fetcher.submit(fetch, d))
+                t0 = _time.time()
+                _emit_selfjoin_block(index, out, fmt, res, sparse, xp,
+                                     starts[i], cap, interp, B=B, G=G,
+                                     Gp=Gp, pfmt=pfmt)
+                stats["emit"] += _time.time() - t0
+    finally:
+        pfmt.close()
+    if os.environ.get("NIQKI_TPU_MATRIX_STATS"):
+        import sys
+        print(f"full sweep: blocks={len(starts)} "
+              f"device-wait {stats['wait']:.1f}s "
+              f"dispatch {stats['disp']:.1f}s emit {stats['emit']:.1f}s",
+              file=sys.stderr, flush=True)
     return True
 
 
 def _emit_selfjoin_block(index, out, fmt, res, sparse, xp, blk, cap, interp,
-                         *, B, G, Gp):
+                         *, B, G, Gp, pfmt=None):
     # B/G/Gp come from the dispatching caller (not recomputed): a dense
     # re-fetch must use the exact block sizing the sparse pass used.
     import numpy as np
@@ -550,7 +599,10 @@ def _emit_selfjoin_block(index, out, fmt, res, sparse, xp, blk, cap, interp,
         over = (vals[:, -1] >= p.min_score) if cap < Gp \
             else np.zeros(n, bool)
         if not over.any():
-            out.write(fmt.format_sparse(vals, idx, lo))
+            if pfmt is not None:
+                pfmt.write_sparse(out, vals, idx, lo)
+            else:
+                out.write(fmt.format_sparse(vals, idx, lo))
             return
         # >= cap survivors in some row: re-fetch ONLY the BLOCK_Q
         # sub-blocks holding overflowing rows dense (a single-row overflow
@@ -581,7 +633,10 @@ def _emit_selfjoin_block(index, out, fmt, res, sparse, xp, blk, cap, interp,
                 r = e
     else:
         c = res[off:off + n, :G]
-        out.write(fmt.format_dense(c, lo))
+        if pfmt is not None:
+            pfmt.write_dense(out, c, lo)
+        else:
+            out.write(fmt.format_dense(c, lo))
 
 
 def query_matrix(index: SketchIndex, out: GzTextWriter,

@@ -185,9 +185,15 @@ def _load():
     lib.nq_gzip_member.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                    ctypes.c_int64, ctypes.c_void_p,
                                    ctypes.c_int64]
+    lib.nq_sketch_stage_bench.restype = ctypes.c_int64
+    lib.nq_sketch_stage_bench.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
     lib.nq_abi_version.restype = ctypes.c_int64
     lib.nq_abi_version.argtypes = []
-    if lib.nq_abi_version() != 10:
+    if lib.nq_abi_version() != 11:
         return None
     _lib = lib
     return _lib
@@ -656,6 +662,28 @@ def gzip_member(data, level: int = 6) -> bytes | None:
     if m < 0:
         return None
     return buf[:m].tobytes()
+
+
+def sketch_stage_bench(words: np.ndarray, n_bases: int, lF: int, K: int,
+                       W: int, H: int, reps: int = 5) -> dict:
+    """Per-stage ns/window of the staged host sketcher over one packed
+    record: 'roll' (sequential canonical roll), 'roll+hash' (+ the
+    vectorized hash/fingerprint/slot stage), 'full' (the production
+    sketch_packed_range incl. the min-scatter). tools/sketch_stage_probe.py
+    is the driver; numbers feed the README sketcher roofline table."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = np.zeros(3, np.float64)
+    mask_M = (1 << (W - H)) - 1
+    max_rem = (1 << H) - 1
+    r = lib.nq_sketch_stage_bench(np.ascontiguousarray(words, np.uint32),
+                                  n_bases, K, lF, W, H, mask_M, max_rem,
+                                  reps, out)
+    if r < 0:
+        raise ValueError("record too short")
+    return {"roll_ns": out[0], "roll_hash_ns": out[1], "full_ns": out[2],
+            "scatter_ns": out[2] - out[1], "hash_ns": out[1] - out[0]}
 
 
 def densify(sketch: np.ndarray) -> None:

@@ -74,6 +74,7 @@ CASES = [
     ["-S", "8", "-K", "21", "-G", "5000"],        # -G stale-constant path
     ["-S", "6", "-K", "21", "-J", "0.4"],          # reporting threshold
     ["-S", "5", "-K", "5"],                        # tiny k-mers
+    ["-S", "5", "-K", "2"],                        # K=2: the validation cap
     ["-S", "5", "-K", "21", "-W", "16", "-H", "4"],  # W>14: int32 count path
     ["-S", "6", "-K", "21", "-W", "8", "-H", "3"],   # lF<=7: uint8 counters
 ]
@@ -147,7 +148,8 @@ def test_dump_load_roundtrip_parity(ref_binary, tmp_path):
 @pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize(
     "case", CASES,
-    ids=["s6", "w14h6", "w10h2", "gtune", "minjac", "k5", "w16", "w8"])
+    ids=["s6", "w14h6", "w10h2", "gtune", "minjac", "k5", "k2", "w16",
+         "w8"])
 def test_matrix_and_hits_parity(ref_binary, tmp_path, seed, case):
     fof = _make_genomes(tmp_path, seed * 7919 + len(case))
     _run_ref(ref_binary, ["-M", "fof.txt", "-O", "ref_m.gz"] + case,
