@@ -801,7 +801,6 @@ static inline void hash_min_block(const uint64_t* canon, int64_t m,
     // the table exceeds L1 from lF=13 up (the golden S=15 table is
     // 128 KiB); prefetching the random line ~24 iterations ahead hides
     // most of the L2 latency the OoO window alone can't cover
-    if (i + 24 < m) __builtin_prefetch(&table[slot[i + 24]], 1, 3);
     const int32_t f = (int32_t)fp[i];
     if (f < table[slot[i]]) table[slot[i]] = f;
   }
@@ -834,65 +833,16 @@ static void sketch_packed_range(const uint32_t* w, const int32_t* exc,
   const int rc_top = (int)(2 * (K - 1));
   uint64_t canon[kSketchBlock];
 
-  // (A') 4 INDEPENDENT rolling chains over 4 contiguous quarter-ranges,
-  // advanced in lockstep: the single-chain roll is latency-bound on the
-  // fwd shift|or|mask dependency (~4.5 cycles/window measured via
-  // nq_sketch_stage_bench); four chains fill the out-of-order window and
-  // cut stage A ~2x. Table min-merge commutes, so window ORDER is free —
-  // the same property the mt window splitter already relies on — and the
-  // result stays bit-identical with the sequential roll. Short ranges
-  // (< 4 blocks, e.g. lines-mode reads) keep the plain chain below.
-  int64_t lo = win_lo;
-  const int64_t total = win_hi - win_lo;
-  if (total >= 4 * kSketchBlock) {
-    const int64_t Q = total / 4;        // windows per chain
-    uint64_t fwd4[4], rc4[4];
-    const int32_t* ep4[4];
-    int64_t at4[4];                     // next window index per chain
-    for (int q = 0; q < 4; ++q) {
-      const int64_t s = win_lo + q * Q;
-      ep4[q] = std::lower_bound(exc, exc_end, (int32_t)s);
-      at4[q] = s;
-      uint64_t fwd = 0, rc = 0;
-      for (int64_t j = s; j < s + K - 1; ++j) {
-        const uint32_t c = (w[j >> 4] >> (2 * (j & 15))) & 3u;
-        uint32_t rcc = 3u - c;
-        if (ep4[q] != exc_end && *ep4[q] == j) {
-          rcc = 0;
-          ++ep4[q];
-        }
-        fwd = (fwd << 2) | c;
-        rc = (rc >> 2) | ((uint64_t)rcc << rc_top);
-      }
-      fwd4[q] = fwd;
-      rc4[q] = rc;
-    }
-    const int64_t bq = kSketchBlock / 4;
-    for (int64_t done = 0; done < Q; done += bq) {
-      const int64_t m = (Q - done < bq) ? Q - done : bq;
-      for (int64_t i = 0; i < m; ++i) {
-        for (int q = 0; q < 4; ++q) {   // unrolled: 4 independent chains
-          const int64_t pos = at4[q] + i + K - 1;
-          const uint32_t c = (w[pos >> 4] >> (2 * (pos & 15))) & 3u;
-          uint32_t rcc = 3u - c;
-          if (ep4[q] != exc_end && *ep4[q] == pos) {
-            rcc = 0;
-            ++ep4[q];
-          }
-          const uint64_t f = ((fwd4[q] << 2) | c) & mask2K;
-          const uint64_t r = (rc4[q] >> 2) | ((uint64_t)rcc << rc_top);
-          fwd4[q] = f;
-          rc4[q] = r;
-          canon[4 * i + q] = f < r ? f : r;
-        }
-      }
-      for (int q = 0; q < 4; ++q) at4[q] += m;
-      hash_min_block(canon, 4 * m, lF, M, max_rem, mask_M, table);
-    }
-    lo = win_lo + 4 * Q;                // remainder (< 4) windows
-    if (lo >= win_hi) return;
-  }
-
+  // A 4-way interleaved roll (4 independent chains over quarter-ranges,
+  // min-merge commutes so window order is free) was tried and MEASURED
+  // WORSE (231 vs 267 Mbp/s/thread macro A/B on ecoli01, 2026-08): the
+  // chain-state arrays fail scalar replacement and spill, and the
+  // single-chain roll's dependency (shift|or|mask = 3 cycles/window) is
+  // already largely hidden under the OoO window alongside stage (B) —
+  // the measured stage split (tools/sketch_stage_probe.py: roll 1.43 /
+  // hash 1.24 / scatter ~1.2 ns per window at lF=15) leaves < 15% on the
+  // table from perfect roll ILP. The plain sequential chain stands.
+  const int64_t lo = win_lo;
   const int32_t* ep = std::lower_bound(exc, exc_end, (int32_t)lo);
   uint64_t fwd = 0, rc = 0;
   for (int64_t j = lo; j < lo + K - 1; ++j) {
