@@ -458,7 +458,11 @@ def _self_join_topk(xp, lo, min_score, *, B: int, cap: int,
             for o in range(0, B, BLOCK_Q)]
     c = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0))
     c = c & 0xFFFF   # reference uint16 counters (niqki_index.cpp:572)
-    return _mask_topk(*jax.lax.top_k(c, cap), min_score)
+    v, g = _mask_topk(*jax.lax.top_k(c, cap), min_score)
+    # wrapped counts fit uint16 exactly: 25% fewer d2h bytes on the
+    # self-join's (B, cap) survivor wire (the d2h leg is ~40% of the
+    # per-block device chain at G=102k; consumers compare/convert host-side)
+    return v.astype(jnp.uint16), g
 
 
 def extend_planes(xp, extra: int):
@@ -497,7 +501,8 @@ def _self_join_window_topk(xp, lo, min_score, *, B: int, w: int, cap: int,
     c = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0))
     c = c & 0xFFFF   # reference uint16 counters (niqki_index.cpp:572)
     vals, pos = jax.lax.top_k(c, min(cap, w * B))
-    return _mask_topk(vals, lo + pos, min_score)
+    v, g = _mask_topk(vals, lo + pos, min_score)
+    return v.astype(jnp.uint16), g   # see _self_join_topk: uint16 wire
 
 
 @functools.partial(jax.jit, static_argnames=("B", "interpret"))
