@@ -34,9 +34,9 @@ sys.path.insert(0, str(REPO))
 WORKER = r"""
 import os, sys, time, json
 import numpy as np
-pid, n, port, genomes, queries, path = (
+pid, n, port, genomes, queries, path, s15 = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
-    int(sys.argv[5]), sys.argv[6])
+    int(sys.argv[5]), sys.argv[6], int(sys.argv[7]))
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
@@ -53,13 +53,20 @@ def say(tag, **kw):
     if pid == 0:
         print(json.dumps({"metric": tag, **kw}), flush=True)
 
-p = SketchParams(lF=12, min_fract=0.05)
+# --s15: the GOLDEN parameterization (F=32768) on 100 kb clustered
+# genomes (dense sketches need >=100 kb records at this F) — the 10,240-row
+# matrix is 1.34 GB of host int32 and each tp shard holds S=15-sized
+# bit-planes (VERDICT r5 item 6: config 4 was previously validated only at
+# lF=12, with 8x smaller per-row planes than the golden config implies).
+p = SketchParams(min_fract=0.05) if s15 else SketchParams(lF=12,
+                                                          min_fract=0.05)
 idx = SketchIndex(p)
 t0 = time.time()
 idx.insert_file_lines(path)          # host-route sketch, fof-order ids
 ingest_s = time.time() - t0
 assert idx.G == genomes, (idx.G, genomes)
-say("multihost_ingest_genomes_per_s", value=round(idx.G / ingest_s, 1),
+say(("s15_" if s15 else "") + "multihost_ingest_genomes_per_s",
+    value=round(idx.G / ingest_s, 1),
     unit="genomes/s", wall_s=round(ingest_s, 1), processes=n)
 
 devs = jax.devices()
@@ -69,7 +76,7 @@ t0 = time.time()
 srv = ShardedIndex(idx, mesh)
 build_s = time.time() - t0
 assert srv._kernel == "planes", srv._kernel
-say("multihost_shard_build_s", value=round(build_s, 2), unit="s",
+say(("s15_" if s15 else "") + "multihost_shard_build_s", value=round(build_s, 2), unit="s",
     Gp=srv._Gp)
 
 # streamed query batches: every 7th genome (clustered set -> real hits)
@@ -78,7 +85,7 @@ qs = np.ascontiguousarray(mat[::7][:queries]).astype(np.int32)
 t0 = time.time()
 counts = srv.counts(qs)
 dense_s = time.time() - t0
-say("multihost_query_per_s_dense", value=round(len(qs) / dense_s, 1),
+say(("s15_" if s15 else "") + "multihost_query_per_s_dense", value=round(len(qs) / dense_s, 1),
     unit="queries/s", wall_s=round(dense_s, 2),
     note="CPU interpret-mode kernel; validates the path, not TPU perf")
 
@@ -87,7 +94,7 @@ qsan = np.where((qs < 0) | (qs >= p.fingerprint_range), -3, qs)
 t0 = time.time()
 vals, gids, shard_cap = srv.topk_counts(qsan, 2048, p.min_score)
 sparse_s = time.time() - t0
-say("multihost_query_per_s_sparse", value=round(len(qs) / sparse_s, 1),
+say(("s15_" if s15 else "") + "multihost_query_per_s_sparse", value=round(len(qs) / sparse_s, 1),
     unit="queries/s", wall_s=round(sparse_s, 2))
 
 # parity: dense counts vs single-process host counting on a sample
@@ -110,13 +117,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--genomes", type=int, default=10_240)
     ap.add_argument("--length", type=int, default=10_000)
+    ap.add_argument("--s15", action="store_true",
+                    help="golden S=15 config on 100 kb clustered genomes "
+                         "(1.34 GB matrix at the default G)")
     ap.add_argument("--queries", type=int, default=192)
     ap.add_argument("--timeout", type=int, default=3600)
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
     import bench_scale
-    path = bench_scale._synth_clustered_file(args.genomes, args.length,
+    length = 100_000 if args.s15 and args.length == 10_000 else args.length
+    path = bench_scale._synth_clustered_file(args.genomes, length,
                                              clusters=128)
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -130,7 +141,8 @@ def main() -> int:
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), "2", str(port),
-             str(args.genomes), str(args.queries), path],
+             str(args.genomes), str(args.queries), path,
+             str(int(args.s15))],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=str(REPO), env=env)
         for pid in (0, 1)
