@@ -555,18 +555,19 @@ def _query_matrix_selfjoin(index: SketchIndex, out: GzTextWriter) -> bool:
     # wall — tools/matrix_probe.py).
     import time as _time
     stats = {"wait": 0.0, "emit": 0.0, "disp": 0.0}
+    ahead = max(1, int(os.environ.get("NIQKI_TPU_MATRIX_AHEAD", "2")))
     from concurrent.futures import ThreadPoolExecutor
     try:
         with ThreadPoolExecutor(1) as fetcher:
             pending = [fetcher.submit(fetch, dispatch(i))
-                       for i in range(min(2, len(starts)))]
+                       for i in range(min(ahead, len(starts)))]
             for i, (lo, start, off, n) in enumerate(starts):
                 t0 = _time.time()
                 res = pending.pop(0).result()
                 stats["wait"] += _time.time() - t0
-                if i + 2 < len(starts):
+                if i + ahead < len(starts):
                     t0 = _time.time()
-                    d = dispatch(i + 2)
+                    d = dispatch(i + ahead)
                     stats["disp"] += _time.time() - t0
                     pending.append(fetcher.submit(fetch, d))
                 t0 = _time.time()
