@@ -129,6 +129,54 @@ def test_binary_hits_layout(tmp_path):
     assert (nhits, g0, c0, g1, c1) == (2, 2, 7, 0, 5)
 
 
+def test_gz_writer_members_decompress_identically(tmp_path):
+    """GzTextWriter's multi-member stream (libdeflate members when the
+    native lib is built, zlib otherwise) must decompress to exactly the
+    written bytes across member boundaries, mixed write granularities,
+    mutable buffers, and the empty-file single-member case — and every
+    member must be a valid standalone gzip stream cut at exactly BLOCK
+    input bytes (the deterministic-boundary contract)."""
+    import gzip
+    import zlib
+    import numpy as np
+    from niqki_tpu import native
+    from niqki_tpu.io.writers import GzTextWriter
+
+    rng = np.random.default_rng(11)
+    parts = [bytes(rng.integers(32, 127, rng.integers(1, 200_000),
+                                dtype=np.uint8)) for _ in range(99)]
+    parts.append(bytearray(b"mutable-buffer-coerced-to-bytes\n"))
+    want = b"".join(bytes(s) for s in parts)
+    path = tmp_path / "mm.gz"
+    with GzTextWriter(str(path), level=1) as out:
+        for s in parts:
+            out.write(s)
+    raw = path.read_bytes()
+    assert gzip.decompress(raw) == want
+    # count the members and check each inflates to exactly BLOCK bytes
+    # (bar the tail): boundaries must not depend on write() granularity
+    sizes, off = [], 0
+    while off < len(raw):
+        d = zlib.decompressobj(31)
+        body = d.decompress(raw[off:])
+        sizes.append(len(body))
+        off = len(raw) - len(d.unused_data)
+    assert sum(sizes) == len(want)
+    assert all(s == GzTextWriter.BLOCK for s in sizes[:-1])
+
+    empty = tmp_path / "empty.gz"
+    with GzTextWriter(str(empty)) as out:
+        pass
+    assert gzip.decompress(empty.read_bytes()) == b""
+
+    if native.available():
+        # the native one-shot member compressor round-trips on its own
+        for data in (b"", want[: 1 << 20]):
+            for lvl in (1, 6, 9):
+                m = native.gzip_member(data, lvl)
+                assert m is not None and gzip.decompress(m) == data
+
+
 def test_sharded_checkpoint_raw_and_legacy_v1(tmp_path):
     """compress=False writes raw row blocks; v1 npz checkpoints still load."""
     import json
